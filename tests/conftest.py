@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-host behavior is validated without a pod via virtual CPU devices
+(SURVEY.md §4 item 4). The container's sitecustomize pre-imports jax with the
+TPU ('axon') platform selected, so env vars are too late — we override the
+live config instead, before any backend is initialized.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ring_scene():
+    from apdmvs_tpu.datasets import synthetic
+
+    cams, planes = synthetic.make_ring_scene(num_views=4, width=160, height=120)
+    images, depths, normals = synthetic.render_scene(cams, planes)
+    return cams, planes, images, depths, normals
