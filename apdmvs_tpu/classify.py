@@ -1,0 +1,182 @@
+"""Pixel-state classification (DepthToWeak) and local disparity refinement.
+
+Vectorized equivalents of the reference's full-grid kernels:
+- DepthToWeak (APD.cu:1990-2144): sweep 61 disparity steps around the
+  current depth along the mean-baseline disparity, analyze the cost-curve
+  peaks, and classify each pixel STRONG / WEAK / UNKNOWN.
+- LocalRefine (APD.cu:2146-2232): +-5 disparity polish of the depth under
+  the current view weights; accepted when the cost improves by > 0.1.
+
+Both run after planes are converted to (world normal, depth) and use the
+persistent Monte-Carlo view weights from propagation.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from apdmvs_tpu import geometry, ncc
+from apdmvs_tpu.ncc import COST_MAX, CostContext
+from apdmvs_tpu.params import PassConfig, PixelState
+
+_MIN_MARGIN = 6  # reference: APD.cu:1998
+_SWEEP_RADIUS = 30  # reference: APD.cu:2055
+
+
+def _weighted_sweep_cost(
+    ctx: CostContext,
+    n_cam: jax.Array,
+    depth: jax.Array,
+    selected: jax.Array,
+    view_weights: jax.Array,
+    weight_norm: jax.Array,
+    cfg: PassConfig,
+) -> jax.Array:
+    """Selected-view weighted NCC (+ geometric) cost of the plane with
+    normal ``n_cam`` at ``depth`` per pixel (APD.cu:2069-2082)."""
+    w = geometry.dist_to_origin(ctx.cams.K[0], ctx.x, ctx.y, depth, n_cam)
+    plane = jnp.concatenate([n_cam, w[..., None]], axis=-1)
+    cv = ncc.cost_vector(ctx, plane, cfg.strong_radius, cfg.strong_increment)
+    if cfg.geom_consistency:
+        cv = cv + cfg.geom_factor * ncc.geom_cost_vector(ctx, plane)
+    wsel = jnp.where(selected, view_weights, 0.0)
+    return jnp.sum(wsel * cv, axis=0) / jnp.maximum(weight_norm, 1e-30)
+
+
+def _mean_baseline(ctx: CostContext, selected: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Mean camera-center distance over each pixel's selected views and the
+    selected count (APD.cu:2037-2052)."""
+    dists = jnp.linalg.norm(ctx.cams.c - ctx.cams.c[0][None], axis=-1)  # [V]
+    cnt = jnp.sum(selected, axis=0).astype(jnp.float32)
+    total = jnp.sum(jnp.where(selected, dists[:, None, None], 0.0), axis=0)
+    return total / jnp.maximum(cnt, 1.0), cnt
+
+
+def depth_to_weak(
+    ctx: CostContext,
+    planes_world: jax.Array,
+    selected: jax.Array,
+    view_weights: jax.Array,
+    weak_peak_radius: int,
+    cfg: PassConfig,
+) -> jax.Array:
+    """Reclassify every pixel from its depth cost curve (APD.cu:1990-2144).
+
+    planes_world: [H, W, 4] = (world normal, depth). Returns pixel_state u8.
+    """
+    H, W = ctx.height, ctx.width
+    K0 = ctx.cams.K[0]
+    n_cam = geometry.normal_world_to_cam(ctx.cams.R[0], planes_world[..., :3])
+    origin_depth = planes_world[..., 3]
+
+    margin = (
+        (ctx.x < _MIN_MARGIN)
+        | (ctx.y < _MIN_MARGIN)
+        | (ctx.x >= W - _MIN_MARGIN)
+        | (ctx.y >= H - _MIN_MARGIN)
+    )
+
+    baseline, valid_cnt = _mean_baseline(ctx, selected)
+    weight_norm = jnp.sum(jnp.where(selected, view_weights, 0.0), axis=0)
+    disp = K0[0, 0] * baseline / jnp.where(origin_depth == 0, 1.0, origin_depth)
+
+    steps = jnp.arange(-_SWEEP_RADIUS, _SWEEP_RADIUS + 1, dtype=jnp.float32)
+
+    def sweep(p_disp):
+        p_depth = K0[0, 0] * baseline / (disp + p_disp)
+        in_range = (p_depth >= ctx.cams.depth_min[0]) & (p_depth <= ctx.cams.depth_max[0])
+        cost = _weighted_sweep_cost(
+            ctx, n_cam, p_depth, selected, view_weights, weight_norm, cfg
+        )
+        return jnp.where(in_range, jnp.minimum(COST_MAX, cost), COST_MAX)
+
+    p_costs = jax.lax.map(sweep, steps)  # [61, H, W]
+
+    # --- peak analysis (APD.cu:2092-2142) ---
+    S = 2 * _SWEEP_RADIUS + 1
+    interior = p_costs[2 : S - 2]
+    is_peak = (p_costs[1 : S - 3] > interior) & (p_costs[3 : S - 1] > interior)
+    is_peak = jnp.pad(is_peak, ((2, 2), (0, 0), (0, 0)), constant_values=False)
+    peak_count = jnp.sum(is_peak, axis=0)
+    peak_vals = jnp.where(is_peak, p_costs, jnp.inf)
+    min_val = jnp.min(peak_vals, axis=0)
+    min_peak = jnp.where(min_val < COST_MAX, jnp.argmin(peak_vals, axis=0), 0)
+    min_cost = jnp.minimum(min_val, COST_MAX)
+    cost_at_min_peak = jnp.take_along_axis(p_costs, min_peak[None], axis=0)[0]
+
+    off_center = jnp.abs(min_peak - _SWEEP_RADIUS) > weak_peak_radius
+    weak_now = off_center | (cost_at_min_peak > 0.5)
+
+    single_peak = peak_count == 1
+    strong_single = cost_at_min_peak <= 0.15
+
+    others = is_peak & (
+        jax.lax.broadcasted_iota(jnp.int32, p_costs.shape, 0) != min_peak[None]
+    )
+    var = jnp.sqrt(
+        jnp.sum(jnp.where(others, (p_costs - min_cost[None]) ** 2, 0.0), axis=0)
+    ) / jnp.maximum(peak_count - 1, 1).astype(jnp.float32)
+    strong_multi = var > 0.2
+
+    state = jnp.where(
+        weak_now,
+        PixelState.WEAK,
+        jnp.where(
+            single_peak,
+            jnp.where(strong_single, PixelState.STRONG, PixelState.WEAK),
+            jnp.where(strong_multi, PixelState.STRONG, PixelState.WEAK),
+        ),
+    ).astype(jnp.uint8)
+
+    unknown = margin | (origin_depth == 0) | (valid_cnt == 0)
+    return jnp.where(unknown, jnp.uint8(PixelState.UNKNOWN), state)
+
+
+def local_refine(
+    ctx: CostContext,
+    planes_world: jax.Array,
+    selected: jax.Array,
+    view_weights: jax.Array,
+    cfg: PassConfig,
+) -> jax.Array:
+    """+-5 disparity depth polish (APD.cu:2146-2232). Updates only the depth
+    channel where the swept cost beats the current cost by > 0.1."""
+    K0 = ctx.cams.K[0]
+    n_cam = geometry.normal_world_to_cam(ctx.cams.R[0], planes_world[..., :3])
+    origin_depth = planes_world[..., 3]
+    baseline, valid_cnt = _mean_baseline(ctx, selected)
+    weight_norm = jnp.sum(jnp.where(selected, view_weights, 0.0), axis=0)
+
+    cost_now = _weighted_sweep_cost(
+        ctx, n_cam, origin_depth, selected, view_weights, weight_norm, cfg
+    )
+    disp = K0[0, 0] * baseline / jnp.where(origin_depth == 0, 1.0, origin_depth)
+
+    def sweep(carry, p_disp):
+        best_cost, best_depth = carry
+        p_depth = K0[0, 0] * baseline / (disp + p_disp)
+        in_range = (p_depth >= ctx.cams.depth_min[0]) & (p_depth <= ctx.cams.depth_max[0])
+        cost = _weighted_sweep_cost(
+            ctx, n_cam, p_depth, selected, view_weights, weight_norm, cfg
+        )
+        better = in_range & (cost < best_cost)
+        return (
+            jnp.where(better, cost, best_cost),
+            jnp.where(better, p_depth, best_depth),
+        ), None
+
+    steps = jnp.arange(-5, 6, dtype=jnp.float32)
+    (min_cost, best_depth), _ = jax.lax.scan(
+        sweep, (jnp.full_like(cost_now, COST_MAX), origin_depth), steps
+    )
+    accept = (
+        (cost_now - min_cost > 0.1)
+        & (origin_depth != 0)
+        & (weight_norm > 0)
+        & (valid_cnt > 0)
+    )
+    new_depth = jnp.where(accept, best_depth, origin_depth)
+    return planes_world.at[..., 3].set(new_depth)

@@ -1,0 +1,267 @@
+"""Depth-map fusion into a point cloud.
+
+Vectorized equivalents of the reference's host-side fusion (ETH variant
+RunFusion: APD.cpp:826-977 — the one main() calls — plus the two unused-but
+-present Tanks&Temples variants, APD.cpp:979-1296, kept as capabilities).
+
+Fusion is host code in the reference (pure C++ loops); here the per-view
+consistency voting is vectorized NumPy over whole depth maps, with the
+sequential cross-view mask mutation preserved by processing reference views
+in order (the reference's greedy dedup, APD.cpp:959).
+
+Within one reference view, the reference's raster-order greedy marking is
+order-dependent; we resolve same-view collisions deterministically by
+scatter-min of the raster index (first pixel wins, matching raster order)
+and recompute acceptance once (SURVEY.md §7 item 2 redesign; validated by
+point-count/metric parity rather than bitwise identity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class FusionView:
+    """Per-view fusion inputs, already rescaled to the depth-map resolution
+    (reference RescaleImageAndCamera: APD.cpp:729-750)."""
+
+    K: np.ndarray  # [3,3]
+    R: np.ndarray  # [3,3]
+    t: np.ndarray  # [3]
+    image_bgr: np.ndarray  # [H,W,3] uint8
+    depth: np.ndarray  # [H,W] f32
+    normal: np.ndarray  # [H,W,3] f32 world-frame
+    weak: Optional[np.ndarray] = None  # [H,W] u8 pixel states
+    block: Optional[np.ndarray] = None  # [H,W] u8 ROI mask (>=128 = keep)
+
+    @property
+    def c(self) -> np.ndarray:
+        return -self.R.T @ self.t
+
+
+def _backproject_world(view: FusionView, xs, ys, depth):
+    """Get3DPointonWorld (APD.cpp:776-800)."""
+    K, R = view.K, view.R
+    px = depth * (xs - K[0, 2]) / K[0, 0]
+    py = depth * (ys - K[1, 2]) / K[1, 1]
+    pts = np.stack([px, py, depth], axis=-1)
+    return pts @ R + view.c  # R^T p + c
+
+
+def _project(view: FusionView, X):
+    """ProjectCamera (APD.cpp:802-812): returns (px, py, depth)."""
+    xc = X @ view.R.T + view.t
+    depth = xc @ view.K[2]
+    px = (xc @ view.K[0]) / depth
+    py = (xc @ view.K[1]) / depth
+    return px, py, depth
+
+
+def _angle(n1, n2):
+    """GetAngle (APD.cpp:814-823): acos of dot, NaN -> 0."""
+    dot = np.sum(n1 * n2, axis=-1)
+    ang = np.arccos(np.clip(dot, -1.0, 1.0))
+    return np.where(np.isnan(ang), 0.0, ang)
+
+
+def fuse_eth(
+    views: Sequence[FusionView],
+    src_ids: Sequence[Sequence[int]],
+    weak_factor: float = 0.45,
+    strong_factor: float = 0.3,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """ETH fusion (RunFusion: APD.cpp:826-977).
+
+    views: all reference views in problem order; src_ids[i]: indices into
+    ``views`` of view i's source views. Returns (coords [N,3] f32,
+    colors_bgr [N,3] u8).
+
+    Acceptance per pixel: >= 1 consistent source (reproj < 2px, relative
+    depth diff < 1%, normal angle < 10 deg) and
+    sum(exp(-(err + 200*ddiff + 10*angle))) > factor * num_consistent,
+    factor 0.45 for WEAK pixels else 0.3 (APD.cpp:941-951).
+    """
+    from apdmvs_tpu.params import PixelState
+
+    masks = [np.zeros(v.depth.shape, bool) for v in views]
+    all_coords: List[np.ndarray] = []
+    all_colors: List[np.ndarray] = []
+
+    for i, view in enumerate(views):
+        H, W = view.depth.shape
+        ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+        valid = view.depth > 0.0
+        valid &= ~masks[i]
+        if view.block is not None:
+            valid &= view.block >= 128
+
+        X = _backproject_world(view, xs, ys, view.depth.astype(np.float64))
+        J = len(src_ids[i])
+        cons = np.zeros((J, H, W), bool)
+        scores = np.zeros((J, H, W))
+        used_r = np.zeros((J, H, W), np.int64)
+        used_c = np.zeros((J, H, W), np.int64)
+        for jj, j in enumerate(src_ids[i]):
+            sv = views[j]
+            sH, sW = sv.depth.shape
+            px, py, _ = _project(sv, X)
+            src_c = (px + 0.5).astype(np.int64)  # trunc(x+0.5) (APD.cpp:925-926)
+            src_r = (py + 0.5).astype(np.int64)
+            inb = (src_c >= 0) & (src_c < sW) & (src_r >= 0) & (src_r < sH)
+            cc = np.clip(src_c, 0, sW - 1)
+            rr = np.clip(src_r, 0, sH - 1)
+            ok = inb & ~masks[j][rr, cc]
+            src_depth = sv.depth[rr, cc]
+            ok &= src_depth > 0.0
+            X2 = _backproject_world(sv, cc.astype(np.float64), rr.astype(np.float64), src_depth.astype(np.float64))
+            bx, by, proj_depth = _project(view, X2)
+            err = np.sqrt((xs - bx) ** 2 + (ys - by) ** 2)
+            rel = np.abs(proj_depth - view.depth) / np.maximum(view.depth, 1e-12)
+            ang = _angle(view.normal, sv.normal[rr, cc])
+            c_j = ok & (err < 2.0) & (rel < 0.01) & (ang < 0.174533)
+            cons[jj] = c_j & valid
+            scores[jj] = np.where(cons[jj], np.exp(-(err + 200.0 * rel + 10.0 * ang)), 0.0)
+            used_r[jj] = rr
+            used_c[jj] = cc
+
+        weak_map = view.weak if view.weak is not None else None
+        factor = (
+            np.where(weak_map == PixelState.WEAK, weak_factor, strong_factor)
+            if weak_map is not None
+            else np.full((H, W), strong_factor)
+        )
+
+        num = cons.sum(axis=0)
+        dyn = scores.sum(axis=0)
+        accept = valid & (num >= 1) & (dyn > factor * num)
+
+        # same-view collision resolution: first raster pixel wins a src pixel
+        raster = (ys * W + xs).astype(np.int64)
+        for jj, j in enumerate(src_ids[i]):
+            sv = views[j]
+            sH, sW = sv.depth.shape
+            m = accept & cons[jj]
+            if not m.any():
+                continue
+            flat = used_r[jj][m] * sW + used_c[jj][m]
+            order = np.full(sH * sW, np.iinfo(np.int64).max)
+            np.minimum.at(order, flat, raster[m])
+            winner = np.zeros((H, W), bool)
+            winner[m] = order[flat] == raster[m]
+            cons[jj] &= winner | ~m
+
+        num = cons.sum(axis=0)
+        dyn = np.where(cons, scores, 0.0).sum(axis=0)
+        accept = valid & (num >= 1) & (dyn > factor * num)
+
+        # mark consumed source pixels (APD.cpp:955-959)
+        for jj, j in enumerate(src_ids[i]):
+            m = accept & cons[jj]
+            masks[j][used_r[jj][m], used_c[jj][m]] = True
+
+        # emit points with averaged colors (APD.cpp:952-969)
+        if accept.any():
+            color = view.image_bgr.astype(np.float64).copy()
+            csum = color[accept]
+            for jj, j in enumerate(src_ids[i]):
+                m = accept & cons[jj]
+                add = np.zeros((H, W, 3))
+                add[m] = views[j].image_bgr[used_r[jj][m], used_c[jj][m]]
+                csum += add[accept]
+            csum /= (num[accept] + 1.0)[:, None]
+            all_coords.append(X[accept].astype(np.float32))
+            all_colors.append(csum.astype(np.uint8))
+
+    if not all_coords:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+    return np.concatenate(all_coords), np.concatenate(all_colors)
+
+
+def fuse_tat(
+    views: Sequence[FusionView],
+    src_ids: Sequence[Sequence[int]],
+    advanced: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Tanks&Temples fusion variants with escalating per-k thresholds
+    (RunFusion_TAT_Intermediate: APD.cpp:979-1147; RunFusion_TAT_advanced:
+    APD.cpp:1149-1296 — present in the reference but not called by main()).
+
+    intermediate: dist < k*0.25, ddiff < k/3500, angle < k*3deg + 4deg,
+    accept at the smallest k in [2, num_src] with count >= k.
+    advanced: dist < k*0.25, ddiff < k/3000, no angle check.
+    """
+    dist_base = 0.25
+    depth_base = 1.0 / (3000.0 if advanced else 3500.0)
+    angle_base = 0.06981317007977318  # 4 deg
+    angle_grad = 0.05235987755982988  # 3 deg
+
+    masks = [np.zeros(v.depth.shape, bool) for v in views]
+    all_coords: List[np.ndarray] = []
+    all_colors: List[np.ndarray] = []
+
+    for i, view in enumerate(views):
+        H, W = view.depth.shape
+        ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+        valid = view.depth > 0.0
+        if view.block is not None:
+            valid &= view.block >= 128
+        X = _backproject_world(view, xs, ys, view.depth.astype(np.float64))
+        J = len(src_ids[i])
+        dists = np.full((J, H, W), np.inf)
+        ddiffs = np.full((J, H, W), np.inf)
+        angles = np.full((J, H, W), np.inf)
+        used_r = np.zeros((J, H, W), np.int64)
+        used_c = np.zeros((J, H, W), np.int64)
+        for jj, j in enumerate(src_ids[i]):
+            sv = views[j]
+            sH, sW = sv.depth.shape
+            px, py, _ = _project(sv, X)
+            src_c = (px + 0.5).astype(np.int64)
+            src_r = (py + 0.5).astype(np.int64)
+            inb = (src_c >= 0) & (src_c < sW) & (src_r >= 0) & (src_r < sH)
+            cc = np.clip(src_c, 0, sW - 1)
+            rr = np.clip(src_r, 0, sH - 1)
+            ok = inb & ~masks[j][rr, cc] & (sv.depth[rr, cc] > 0.0)
+            X2 = _backproject_world(sv, cc.astype(np.float64), rr.astype(np.float64), sv.depth[rr, cc].astype(np.float64))
+            bx, by, proj_depth = _project(view, X2)
+            err = np.sqrt((xs - bx) ** 2 + (ys - by) ** 2)
+            rel = np.abs(proj_depth - view.depth) / np.maximum(view.depth, 1e-12)
+            ang = _angle(view.normal, sv.normal[rr, cc])
+            dists[jj] = np.where(ok, err, np.inf)
+            ddiffs[jj] = np.where(ok, rel, np.inf)
+            angles[jj] = np.where(ok, ang, np.inf)
+            used_r[jj], used_c[jj] = rr, cc
+
+        accept = np.zeros((H, W), bool)
+        use = np.zeros((J, H, W), bool)
+        count_final = np.zeros((H, W), np.int64)
+        for k in range(2, J + 1):
+            ok_k = (dists < k * dist_base) & (ddiffs < k * depth_base)
+            if not advanced:
+                ok_k &= angles < (k * angle_grad + angle_base)
+            count = ok_k.sum(axis=0)
+            acc_k = valid & ~accept & (count >= k)
+            use = np.where(acc_k[None], ok_k, use)
+            count_final = np.where(acc_k, count, count_final)
+            accept |= acc_k
+
+        masks[i] |= accept  # TAT variants mark the ref pixel (APD.cpp:1138)
+        if accept.any():
+            csum = view.image_bgr.astype(np.float64)[accept].copy()
+            if not advanced:  # intermediate averages the used src colors
+                for jj, j in enumerate(src_ids[i]):
+                    m = accept & use[jj]
+                    add = np.zeros((H, W, 3))
+                    add[m] = views[j].image_bgr[used_r[jj][m], used_c[jj][m]]
+                    csum += add[accept]
+                csum /= (count_final[accept] + 1.0)[:, None]
+            all_coords.append(X[accept].astype(np.float32))
+            all_colors.append(csum.astype(np.uint8))
+
+    if not all_coords:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+    return np.concatenate(all_coords), np.concatenate(all_colors)

@@ -1,0 +1,314 @@
+"""Multi-view NCC cost evaluation — the hot path.
+
+TPU-native reformulation of the reference's per-thread NCC inner loops
+(ComputeBilateralNCCOld: APD.cu:530-614, cost vectors: APD.cu:696-716,
+initial cost + top-k view seeding: APD.cu:616-693, geometric consistency:
+APD.cu:752-789).
+
+Key reformulation (geometry.py docstring): the homography patch warp is
+affine in the patch offset, so a candidate evaluation needs three
+homogeneous vectors per (pixel, view) — after that every window sample is a
+handful of VPU FMAs, one divide, and one bilinear gather. Reference-image
+samples on the full grid use static shifted slices (no gather at all).
+
+Costs are "1 - NCC" clamped to [0, 2]; degenerate patches (variance < 1e-5)
+and out-of-view warps cost 2 (reference: APD.cu:541-613).
+
+Note the reference's "bilateral" weights are hardcoded to 1.0
+(APD.cu:473,575), so NCC is unweighted; sigma_spatial/sigma_color are
+vestigial (SURVEY.md §2.2). We implement the effective behavior.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apdmvs_tpu import geometry, sampling
+from apdmvs_tpu.geometry import Cameras, WarpConstants, mat3_vec
+
+COST_MAX = 2.0
+GEOM_COST_MAX = 3.0
+MIN_VAR = 1e-5
+
+
+class CostContext(NamedTuple):
+    """Per-pass immutable inputs to all cost evaluations.
+
+    images: [V, H, W] float32, index 0 = reference view.
+    src_valid: [V] bool — True for real source views (False for view 0 and
+      any padding views); invalid views always cost COST_MAX, reproducing
+      the reference's 2.0-initialized cost vectors (APD.cu:626-627).
+    depth_maps: [V, H, W] source-view depths for geometric-consistency
+      passes (entry 0 = this view's own previous depth, unused) or None.
+    """
+
+    images: jax.Array
+    cams: Cameras
+    wc: WarpConstants
+    dirs: jax.Array  # [H, W, 3] ref pixel directions K_ref^{-1} p
+    x: jax.Array  # [H, W]
+    y: jax.Array  # [H, W]
+    src_valid: jax.Array  # [V] bool
+    depth_maps: Optional[jax.Array]
+
+    @property
+    def height(self) -> int:
+        return self.images.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.images.shape[2]
+
+    @property
+    def num_views(self) -> int:
+        return self.images.shape[0]
+
+
+def make_context(
+    images: jax.Array,
+    cams: Cameras,
+    src_valid: jax.Array,
+    depth_maps: Optional[jax.Array] = None,
+) -> CostContext:
+    V, H, W = images.shape
+    x, y = geometry.pixel_grid(H, W)
+    dirs = geometry.pixel_dirs(cams.K[0], x, y)
+    wc = geometry.warp_constants(cams)
+    return CostContext(
+        images=jnp.asarray(images, jnp.float32),
+        cams=cams,
+        wc=wc,
+        dirs=dirs,
+        x=x,
+        y=y,
+        src_valid=jnp.asarray(src_valid, bool),
+        depth_maps=None if depth_maps is None else jnp.asarray(depth_maps, jnp.float32),
+    )
+
+
+def _warp_basis(
+    ctx: CostContext, v: jax.Array, plane: jax.Array, dirs: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Hp, He0, He1 homogeneous warp vectors for plane at pixels with
+    directions ``dirs`` (geometry.py docstring identities)."""
+    n = plane[..., :3]
+    w = plane[..., 3]
+    Mv = ctx.wc.M[v]  # [3,3]
+    bv = ctx.wc.b[v]  # [3]
+    ndir = jnp.sum(n * dirs, axis=-1)
+    Hp = mat3_vec(Mv, dirs) - bv * (ndir / w)[..., None]
+    He0 = (Mv[:, 0] - bv * (n[..., 0] / w)[..., None]) * ctx.wc.inv_fx
+    He1 = (Mv[:, 1] - bv * (n[..., 1] / w)[..., None]) * ctx.wc.inv_fy
+    return Hp, He0, He1
+
+
+def _project(q: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    return q[..., 0] / q[..., 2], q[..., 1] / q[..., 2]
+
+
+def _ncc_from_sums(s_r, s_rr, s_s, s_ss, s_rs, count):
+    """cost = clamp(1 - cov/sqrt(var_r var_s), 0, 2); degenerate -> 2
+    (reference: APD.cu:592-610)."""
+    inv = 1.0 / count
+    mr = s_r * inv
+    ms = s_s * inv
+    var_r = s_rr * inv - mr * mr
+    var_s = s_ss * inv - ms * ms
+    cov = s_rs * inv - mr * ms
+    ncc_cost = 1.0 - cov * jax.lax.rsqrt(jnp.maximum(var_r * var_s, 1e-30))
+    cost = jnp.clip(ncc_cost, 0.0, COST_MAX)
+    return jnp.where((var_r < MIN_VAR) | (var_s < MIN_VAR), COST_MAX, cost)
+
+
+def ncc_cost_view(
+    ctx: CostContext,
+    v: jax.Array,
+    plane: jax.Array,
+    radius: int,
+    increment: int,
+    xs: Optional[jax.Array] = None,
+    ys: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Plain NCC cost of ``plane`` against source view ``v``.
+
+    Grid mode (xs is None): evaluates every pixel of the full [H, W] grid;
+    reference-patch samples come from static shifted slices.
+
+    Point mode: evaluates at float coords (xs, ys) of any shape — used for
+    worklist (weak-pixel) evaluation and anchor patches, where the plane may
+    belong to a different pixel than the patch center (deformed NCC;
+    reference: APD.cu:400-528 anchor loop).
+
+    Matches ComputeBilateralNCCOld (APD.cu:530-614): the patch-center warp
+    out of source bounds costs COST_MAX.
+    """
+    offsets = sampling.patch_offsets(radius, increment)
+    S = offsets.shape[0]
+    src_img = jnp.take(ctx.images, v, axis=0)
+    ref_img = ctx.images[0]
+    H, W = ctx.height, ctx.width
+    src_h = H  # all views share one resolution (reference: main.cpp:51-70)
+    src_w = W
+
+    grid_mode = xs is None
+    if grid_mode:
+        xs_, ys_ = ctx.x, ctx.y
+        dirs = ctx.dirs
+        pad = radius
+        ref_padded = jnp.pad(ref_img, pad, mode="edge")
+    else:
+        xs_, ys_ = xs, ys
+        dirs = geometry.pixel_dirs(ctx.cams.K[0], xs_, ys_)
+
+    Hp, He0, He1 = _warp_basis(ctx, v, plane, dirs)
+    cx, cy = _project(Hp)
+    center_oob = (cx < 0.0) | (cx >= src_w) | (cy < 0.0) | (cy >= src_h)
+
+    offs = jnp.asarray(offsets, jnp.float32)
+
+    def body(carry, off):
+        s_r, s_rr, s_s, s_ss, s_rs = carry
+        di, dj = off[0], off[1]
+        q = Hp + di[..., None] * He0 + dj[..., None] * He1
+        sx_, sy_ = _project(q)
+        src_pix = sampling.bilinear_sample(src_img, sx_, sy_)
+        if grid_mode:
+            # static-offset shifted slice of the edge-padded reference image
+            ref_pix = jax.lax.dynamic_slice(
+                ref_padded,
+                (
+                    (dj + pad).astype(jnp.int32),
+                    (di + pad).astype(jnp.int32),
+                ),
+                (H, W),
+            )
+        else:
+            ref_pix = sampling.bilinear_sample(ref_img, xs_ + di, ys_ + dj)
+        return (
+            s_r + ref_pix,
+            s_rr + ref_pix * ref_pix,
+            s_s + src_pix,
+            s_ss + src_pix * src_pix,
+            s_rs + ref_pix * src_pix,
+        ), None
+
+    zeros = jnp.zeros_like(xs_)
+    (s_r, s_rr, s_s, s_ss, s_rs), _ = jax.lax.scan(
+        body, (zeros, zeros, zeros, zeros, zeros), offs
+    )
+    cost = _ncc_from_sums(s_r, s_rr, s_s, s_ss, s_rs, float(S))
+    return jnp.where(center_oob, COST_MAX, cost)
+
+
+def cost_vector(
+    ctx: CostContext,
+    plane: jax.Array,
+    radius: int,
+    increment: int,
+    xs: Optional[jax.Array] = None,
+    ys: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-source-view plain-NCC costs [V, ...] (entry 0 and padding views
+    = COST_MAX), matching ComputeMultiViewCostVectorOld (APD.cu:707-716)
+    shifted so index v corresponds to camera v."""
+
+    def per_view(v):
+        return ncc_cost_view(ctx, v, plane, radius, increment, xs, ys)
+
+    costs = jax.lax.map(per_view, jnp.arange(ctx.num_views))
+    shape = (ctx.num_views,) + (1,) * (costs.ndim - 1)
+    return jnp.where(ctx.src_valid.reshape(shape), costs, COST_MAX)
+
+
+def geom_cost_view(
+    ctx: CostContext,
+    v: jax.Array,
+    plane: jax.Array,
+    xs: Optional[jax.Array] = None,
+    ys: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Geometric consistency: forward-project through the source view's
+    depth map and measure reprojection error, clamped at 3
+    (reference ComputeGeomConsistencyCost: APD.cu:752-789)."""
+    assert ctx.depth_maps is not None, "geom pass needs source depth maps"
+    if xs is None:
+        xs_, ys_, dirs = ctx.x, ctx.y, ctx.dirs
+    else:
+        xs_, ys_ = xs, ys
+        dirs = geometry.pixel_dirs(ctx.cams.K[0], xs_, ys_)
+    n = plane[..., :3]
+    w = plane[..., 3]
+    depth = -w / jnp.sum(n * dirs, axis=-1)
+    cams = ctx.cams
+    X = geometry.backproject_world(xs_, ys_, depth, cams.K[0], cams.R[0], cams.c[0])
+    px, py, _ = geometry.project_camera(X, cams.K[v], cams.R[v], cams.t[v])
+    src_depth = sampling.nearest_sample_trunc(jnp.take(ctx.depth_maps, v, axis=0), px, py)
+    X2 = geometry.backproject_world(px, py, src_depth, cams.K[v], cams.R[v], cams.c[v])
+    bx, by, _ = geometry.project_camera(X2, cams.K[0], cams.R[0], cams.t[0])
+    err = jnp.sqrt((xs_ - bx) ** 2 + (ys_ - by) ** 2)
+    return jnp.where(src_depth == 0.0, GEOM_COST_MAX, jnp.minimum(GEOM_COST_MAX, err))
+
+
+def geom_cost_vector(
+    ctx: CostContext,
+    plane: jax.Array,
+    xs: Optional[jax.Array] = None,
+    ys: Optional[jax.Array] = None,
+) -> jax.Array:
+    def per_view(v):
+        return geom_cost_view(ctx, v, plane, xs, ys)
+
+    costs = jax.lax.map(per_view, jnp.arange(ctx.num_views))
+    shape = (ctx.num_views,) + (1,) * (costs.ndim - 1)
+    return jnp.where(ctx.src_valid.reshape(shape), costs, GEOM_COST_MAX)
+
+
+def initial_cost_and_views(
+    ctx: CostContext, plane: jax.Array, radius: int, increment: int, top_k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """FIRST_INIT seeding: per-view costs, select the top-k (<=4) views with
+    cost < 2, return (mean top-k cost, selected [V, H, W] bool)
+    (reference ComputeMultiViewInitialCostandSelectedViews: APD.cu:616-662).
+    """
+    costs = cost_vector(ctx, plane, radius, increment)  # [V, H, W]
+    V = ctx.num_views
+    num_valid = jnp.sum(costs < COST_MAX, axis=0)  # [H, W]
+    k = jnp.minimum(num_valid, top_k)  # [H, W]
+    sorted_costs = jnp.sort(costs, axis=0)  # ascending
+    # mean of the k smallest (k >= 1 guarded below)
+    ranks = jax.lax.broadcasted_iota(jnp.int32, costs.shape, 0)
+    topk_sum = jnp.sum(jnp.where(ranks < k[None], sorted_costs, 0.0), axis=0)
+    mean_cost = topk_sum / jnp.maximum(k, 1)
+    # threshold = k-th smallest cost; selected = cost <= threshold
+    kth = jnp.take_along_axis(
+        sorted_costs, jnp.maximum(k - 1, 0)[None], axis=0
+    )[0]
+    selected = (costs <= kth[None]) & ctx.src_valid.reshape((V, 1, 1))
+    cost = jnp.where(k > 0, mean_cost, COST_MAX)
+    selected = jnp.where((k > 0)[None], selected, False)
+    return cost, selected
+
+
+def recost_selected_views(
+    ctx: CostContext,
+    plane: jax.Array,
+    selected: jax.Array,
+    radius: int,
+    increment: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """REFINE_* re-seeding: cost the loaded hypothesis over the loaded
+    selected views, dropping views that now fail (cost >= 2)
+    (reference ComputeMultiViewInitialCost: APD.cu:664-693; we clear only
+    the failing bit — the reference's unSetBit also clears all lower bits,
+    a bug we deliberately do not reproduce, SURVEY.md §7 item 6)."""
+    costs = cost_vector(ctx, plane, radius, increment)  # [V, H, W]
+    ok = selected & (costs < COST_MAX)
+    count = jnp.sum(ok, axis=0)
+    total = jnp.sum(jnp.where(ok, costs, 0.0), axis=0)
+    cost = jnp.where(count > 0, total / jnp.maximum(count, 1), COST_MAX)
+    return cost, ok

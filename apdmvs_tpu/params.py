@@ -172,6 +172,40 @@ def build_schedule(round_num: int) -> List[PassSpec]:
     return schedule
 
 
+@dataclasses.dataclass(frozen=True)
+class PassConfig:
+    """Static (hashable) configuration compiled into the jitted pass program.
+
+    Everything here changes compilation (shapes or control flow); dynamic
+    scalars (ransac_threshold, depth ranges) are passed as arrays instead.
+    """
+
+    state: RunState
+    geom_consistency: bool
+    use_APD: bool
+    max_iterations: int = 3
+    weak_peak_radius: int = 6
+    rotate_time: int = 4
+    top_k: int = 4
+    strong_radius: int = 5
+    strong_increment: int = 2
+    weak_radius: int = 5
+    weak_increment: int = 5
+    geom_factor: float = 0.2
+    num_mc_samples: int = 15
+
+    @classmethod
+    def from_spec(cls, spec: "PassSpec") -> "PassConfig":
+        return cls(
+            state=spec.state,
+            geom_consistency=spec.geom_consistency,
+            use_APD=spec.use_APD,
+            max_iterations=spec.max_iterations,
+            weak_peak_radius=spec.weak_peak_radius,
+            rotate_time=spec.rotate_time,
+        )
+
+
 def scaled_size(width: int, height: int, scale_size: int) -> Tuple[int, int]:
     """Image size at a pyramid level (reference: APD.cpp:464-471)."""
     if scale_size == 1:

@@ -1,0 +1,694 @@
+"""Weak-texture (APD) machinery: anchors, RANSAC planes, deformed NCC.
+
+TPU reformulation of the reference's adaptive-patch-deformation core:
+
+- FindNearestStrongPoint (APD.cu:2234-2270): the reference scans a 201x201
+  window per pixel; we run jump flooding over the full grid (log-step
+  passes), then apply the same |dx|,|dy| <= 100 acceptance box. JFA is the
+  standard O(log R) nearest-seed transform; its rare off-by-a-few-pixels
+  approximations are immaterial here (the result only seeds anchor snapping).
+- GenNeighbours (APD.cu:1750-1969): 8 base directions x rotate_time
+  rotations; per direction a radius march with jittered rays, snapping
+  non-STRONG hits to the nearest strong pixel, accepting the first hit
+  inside the angular cone; then 50-iteration RANSAC over the hits (triangle
+  must contain the pixel, >= 6 inliers) and the 8 inliers nearest the best
+  plane become the anchors. We subsample the reference's ~165-step radius
+  march to a fixed 12-radius geometric schedule with 2 jittered rays
+  (vs 4) per step — with nearest-strong snapping this covers the same
+  space with a bounded probe budget (divergence documented; validated by
+  end-to-end metrics, SURVEY.md §7 item 3).
+- RANSACToGetFitPlane (APD.cu:2272-2384): per-iteration plane fit over the
+  anchors' current 3D points.
+- ComputeBilateralNCCNew (APD.cu:400-528): deformed NCC = 0.25 * center
+  patch + 0.75 * mean(anchor patches), all warped by the candidate's
+  homography; anchors whose warp leaves the image contribute the max cost
+  if that view is selected at the anchor, else are excluded.
+- CheckerboardPropagationWeak (APD.cu:1323-1508): candidates are the 8
+  anchors' hypotheses (STRONG anchors only). Weak pixels read only
+  strong-pixel state, so the reference's red-black split is a no-op for
+  correctness; we run one full worklist sweep per iteration.
+
+All weak-pixel work runs over a compacted fixed-capacity worklist [N]
+(the weak count is host-known between passes), the TPU equivalent of the
+reference's ``neighbours_map`` ordinal compaction (APD.cpp:526-538).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apdmvs_tpu import geometry, hypotheses, ncc, sampling
+from apdmvs_tpu.geometry import Cameras
+from apdmvs_tpu.ncc import COST_MAX, GEOM_COST_MAX, CostContext
+from apdmvs_tpu.params import NEIGHBOUR_NUM, PassConfig, PixelState, RunState
+from apdmvs_tpu.propagation import StrongState, joint_view_selection
+
+_MIN_MARGIN = 6  # reference: APD.cu:1765
+_NEAREST_RADIUS = 100  # reference: APD.cu:2250
+_RANSAC_ITERS = 50  # reference: APD.cu:1880, 2316
+_NUM_ANCHORS = NEIGHBOUR_NUM - 1  # 8
+# Fixed radius schedule replacing the reference's r = min(2r, r+25) march
+# (APD.cu:1807); geometric coverage to MAX_SEARCH_RADIUS.
+_RADIUS_SCHEDULE = (2, 4, 8, 16, 32, 57, 107, 207, 407, 807, 1607, 3107)
+_JITTERS_PER_RADIUS = 2  # reference uses 4 (APD.cu:1812)
+
+
+def compact_weak_pixels(pixel_state: jax.Array, capacity: int) -> jax.Array:
+    """Coordinates of WEAK pixels as a fixed-capacity worklist [N, 2] (x, y),
+    padded with -1 (the reference's neighbours_map compaction,
+    APD.cpp:526-538)."""
+    ys, xs = jnp.nonzero(
+        pixel_state == PixelState.WEAK, size=capacity, fill_value=-1
+    )
+    return jnp.stack([xs, ys], axis=-1).astype(jnp.int32)
+
+
+def nearest_strong_map(pixel_state: jax.Array) -> jax.Array:
+    """Per-pixel coordinates of the nearest STRONG pixel within a 100px box,
+    (-1, -1) if none — jump-flooding equivalent of FindNearestStrongPoint
+    (APD.cu:2234-2270). Returns [H, W, 2] int32 (x, y)."""
+    H, W = pixel_state.shape
+    x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    strong = pixel_state == PixelState.STRONG
+    big = jnp.int32(1 << 28)
+    best_x = jnp.where(strong, x, -1)
+    best_y = jnp.where(strong, y, -1)
+
+    def dist2(bx, by):
+        dx = jnp.where(bx >= 0, bx - x, big)
+        dy = jnp.where(bx >= 0, by - y, big)
+        return jnp.where(bx >= 0, dx * dx + dy * dy, big * big)
+
+    for step in (128, 64, 32, 16, 8, 4, 2, 1, 1):
+        cur_d = dist2(best_x, best_y)
+        for dy_ in (-step, 0, step):
+            for dx_ in (-step, 0, step):
+                if dx_ == 0 and dy_ == 0:
+                    continue
+                nbx = sampling.shift2d(best_x, dx_, dy_, -1)
+                nby = sampling.shift2d(best_y, dx_, dy_, -1)
+                nd = dist2(nbx, nby)
+                better = nd < cur_d
+                best_x = jnp.where(better, nbx, best_x)
+                best_y = jnp.where(better, nby, best_y)
+                cur_d = jnp.where(better, nd, cur_d)
+    # the reference accepts only |dx|,|dy| <= 100 (window box)
+    in_box = (
+        (best_x >= 0)
+        & (jnp.abs(best_x - x) <= _NEAREST_RADIUS)
+        & (jnp.abs(best_y - y) <= _NEAREST_RADIUS)
+    )
+    best_x = jnp.where(in_box, best_x, -1)
+    best_y = jnp.where(in_box, best_y, -1)
+    return jnp.stack([best_x, best_y], axis=-1)
+
+
+def _base_directions(rotate_time: int) -> np.ndarray:
+    """The 8 x rotate_time probe directions in the reference's order
+    (APD.cu:1797-1851): base dirs from the (dx, dy) double loop, each
+    rotated rotate_time times by 45/rotate_time degrees."""
+    dirs = []
+    angle = 45.0 / rotate_time
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            if ox == 0 and oy == 0:
+                continue
+            d = np.array([ox, oy], np.float64)
+            d /= np.linalg.norm(d)
+            for r in range(rotate_time):
+                a = math.radians(angle * r)
+                ca, sa = math.cos(a), math.sin(a)
+                dirs.append([d[0] * ca - d[1] * sa, d[0] * sa + d[1] * ca])
+    return np.asarray(dirs, np.float32)  # [8 * rotate_time, 2]
+
+
+class AnchorData(NamedTuple):
+    """Per-weak-pixel anchors: coords [N, 9, 2] int32 (slot 0 = self,
+    (-1, -1) = missing), mirroring the reference's neighbours_cuda layout
+    (APD.cu:1774-1781)."""
+
+    coords: jax.Array
+
+
+def _plane_from_triangle(A: jax.Array, B: jax.Array, C: jax.Array):
+    """Unit plane (n, w) through 3 points; returns (plane [..., 4], degenerate
+    mask) (reference cross-product construction: APD.cu:1897-1907)."""
+    n = jnp.cross(A - C, B - C)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    degenerate = (norm[..., 0] < 1e-12) | ~jnp.isfinite(norm[..., 0])
+    n = n / jnp.maximum(norm, 1e-30)
+    w = -jnp.sum(n * A, axis=-1)
+    return jnp.concatenate([n, w[..., None]], axis=-1), degenerate
+
+
+def _point_in_triangle(
+    A: jax.Array, B: jax.Array, C: jax.Array, P: jax.Array
+) -> jax.Array:
+    """2D containment with the reference's degeneracy rejection
+    (PointinTriangle: APD.cu:91-112). A, B, C, P: [..., 2] float."""
+    ab = jnp.linalg.norm(B - A, axis=-1)
+    bc = jnp.linalg.norm(C - B, axis=-1)
+    ca = jnp.linalg.norm(A - C, axis=-1)
+    ok = (ab > 2.0) & (bc > 2.0) & (ca > 2.0)
+    ok &= (ab + bc > ca) & (bc + ca > ab) & (ab + ca > bc)
+
+    def cross2(u, v):
+        return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+
+    pa, pb, pc = A - P, B - P, C - P
+    t1 = cross2(pa, pb)
+    t2 = cross2(pb, pc)
+    t3 = cross2(pc, pa)
+    return ok & (t1 * t2 >= 0) & (t1 * t3 >= 0)
+
+
+def generate_anchors(
+    ctx: CostContext,
+    prior_depth: jax.Array,
+    pixel_state: jax.Array,
+    weak_xy: jax.Array,
+    key: jax.Array,
+    cfg: PassConfig,
+    ransac_threshold: jax.Array,
+) -> Tuple[AnchorData, jax.Array]:
+    """Anchor search + RANSAC reliability filter (GenNeighbours,
+    APD.cu:1750-1969, and NeigbourUpdate, APD.cu:1971-1987).
+
+    prior_depth: [H, W] — the pass-input depth map; anchor 3D points use it
+    exactly as the reference uses pre-initialization plane_hypotheses[...].w.
+    Returns (AnchorData, updated pixel_state with unreliable WEAK -> UNKNOWN).
+    """
+    H, W = ctx.height, ctx.width
+    N = weak_xy.shape[0]
+    wx = weak_xy[..., 0].astype(jnp.float32)
+    wy = weak_xy[..., 1].astype(jnp.float32)
+    alive = weak_xy[..., 0] >= 0
+
+    nearest = nearest_strong_map(pixel_state)  # [H, W, 2]
+    strong_grid = pixel_state == PixelState.STRONG
+
+    dirs_np = _base_directions(cfg.rotate_time)  # [D, 2]
+    D = dirs_np.shape[0]
+    angle = 45.0 / cfg.rotate_time
+    cos_threshold = math.cos(math.radians(angle / 2.0))
+    shift_range = max(int(math.tan(math.radians(angle / 2.0)) * 20), 1)
+
+    k_probe, k_ransac = jax.random.split(key)
+
+    # --- probe schedule: [D, P, 2] unit directions after jitter ---
+    P = len(_RADIUS_SCHEDULE) * _JITTERS_PER_RADIUS
+    radii = np.repeat(np.asarray(_RADIUS_SCHEDULE, np.float32), _JITTERS_PER_RADIUS)
+
+    def probe_dir(key_d):
+        """Jittered unit directions for one (dir, probe) lane (APD.cu:1813-1816)."""
+        shifts = jax.random.randint(key_d, (N, 2), -shift_range + 1, shift_range)
+        return shifts.astype(jnp.float32)
+
+    def scan_dir(d_idx):
+        """First accepted strong point along direction d for all weak pixels."""
+        base = jnp.asarray(dirs_np[d_idx])  # [2]
+
+        def probe_step(carry, inputs):
+            found, pt_x, pt_y = carry
+            radius, k_step = inputs
+            shifts = jax.random.randint(k_step, (N, 2), -shift_range + 1, shift_range)
+            d = base * 20.0 + shifts.astype(jnp.float32)
+            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+            px = (wx + d[..., 0] * radius).astype(jnp.int32)
+            py = (wy + d[..., 1] * radius).astype(jnp.int32)
+            in_margin = (
+                (px >= _MIN_MARGIN)
+                & (py >= _MIN_MARGIN)
+                & (px < W - _MIN_MARGIN)
+                & (py < H - _MIN_MARGIN)
+            )
+            # snap non-STRONG landings to their nearest strong pixel
+            is_strong = sampling.gather_grid(strong_grid, px, py)
+            snap = sampling.gather_grid(nearest, px, py)  # [N, 2]
+            sx = jnp.where(is_strong, px, snap[..., 0])
+            sy = jnp.where(is_strong, py, snap[..., 1])
+            has_pt = in_margin & (sx >= 0)
+            # angular-cone acceptance (APD.cu:1829-1832)
+            td = jnp.stack([sx.astype(jnp.float32) - wx, sy.astype(jnp.float32) - wy], -1)
+            td = td / jnp.maximum(jnp.linalg.norm(td, axis=-1, keepdims=True), 1e-12)
+            cos_a = td[..., 0] * base[0] + td[..., 1] * base[1]
+            accept = has_pt & (cos_a > cos_threshold) & ~found
+            return (
+                found | accept,
+                jnp.where(accept, sx, pt_x),
+                jnp.where(accept, sy, pt_y),
+            ), None
+
+        keys = jax.random.split(jax.random.fold_in(k_probe, d_idx), P)
+        init = (
+            jnp.zeros((N,), bool),
+            jnp.full((N,), -1, jnp.int32),
+            jnp.full((N,), -1, jnp.int32),
+        )
+        (found, pt_x, pt_y), _ = jax.lax.scan(
+            probe_step, init, (jnp.asarray(radii), keys)
+        )
+        return found, pt_x, pt_y
+
+    found, spx, spy = jax.lax.map(scan_dir, jnp.arange(D))  # [D, N] each
+    found = jnp.moveaxis(found, 0, 1)  # [N, D]
+    spx = jnp.moveaxis(spx, 0, 1)
+    spy = jnp.moveaxis(spy, 0, 1)
+    num_found = jnp.sum(found, axis=1)
+
+    # --- compact valid strong points to the front of the D slots ---
+    order = jnp.argsort(~found, axis=1, stable=True)  # valid first
+    spx = jnp.take_along_axis(spx, order, axis=1)
+    spy = jnp.take_along_axis(spy, order, axis=1)
+    found = jnp.take_along_axis(found, order, axis=1)
+
+    # --- 3D points from the prior depth (APD.cu:1866-1877) ---
+    depth_at = sampling.gather_grid(prior_depth, spx, spy)  # [N, D]
+    pts3d = geometry.pixel_dirs(
+        ctx.cams.K[0], spx.astype(jnp.float32), spy.astype(jnp.float32)
+    ) * depth_at[..., None]  # [N, D, 3]
+    center_depth = sampling.gather_grid(prior_depth, weak_xy[..., 0], weak_xy[..., 1])
+    center3d = geometry.pixel_dirs(ctx.cams.K[0], wx, wy) * center_depth[..., None]
+
+    depth_diff = ctx.cams.depth_max[0] - ctx.cams.depth_min[0]
+    thr = ransac_threshold
+
+    # --- RANSAC for the best anchor plane (APD.cu:1879-1945) ---
+    def ransac_step(carry, k_it):
+        best_count, best_center_dist, best_plane, best_abc, has_plane = carry
+        idx = jax.random.randint(k_it, (N, 3), 0, 1 << 30)
+        idx = idx % jnp.maximum(num_found, 1)[:, None]
+        ia, ib, ic = idx[:, 0], idx[:, 1], idx[:, 2]
+        distinct = (ia != ib) & (ib != ic) & (ia != ic)
+
+        def takepts(i):
+            return (
+                jnp.take_along_axis(pts3d, i[:, None, None].repeat(3, -1), axis=1)[:, 0],
+                jnp.stack(
+                    [
+                        jnp.take_along_axis(spx, i[:, None], axis=1)[:, 0],
+                        jnp.take_along_axis(spy, i[:, None], axis=1)[:, 0],
+                    ],
+                    -1,
+                ).astype(jnp.float32),
+            )
+
+        A3, A2 = takepts(ia)
+        B3, B2 = takepts(ib)
+        C3, C2 = takepts(ic)
+        contains = _point_in_triangle(A2, B2, C2, jnp.stack([wx, wy], -1))
+        plane, degen = _plane_from_triangle(A3, B3, C3)
+        ok = distinct & contains & ~degen
+
+        dist = jnp.abs(
+            jnp.sum(plane[:, None, :3] * pts3d, axis=-1) + plane[:, None, 3]
+        )  # [N, D]
+        inlier = found & (dist / depth_diff < thr)
+        count = jnp.sum(inlier, axis=1)
+        ok &= count >= 6  # APD.cu:1918
+        center_dist = jnp.abs(
+            jnp.sum(plane[:, :3] * center3d, axis=-1) + plane[:, 3]
+        )
+        better = ok & (
+            (count > best_count) | ((count == best_count) & (center_dist < best_center_dist))
+        )
+        abc = jnp.stack([ia, ib, ic], -1)
+        return (
+            jnp.where(better, count, best_count),
+            jnp.where(better, center_dist, best_center_dist),
+            jnp.where(better[:, None], plane, best_plane),
+            jnp.where(better[:, None], abc, best_abc),
+            has_plane | better,
+        ), None
+
+    init = (
+        jnp.full((N,), 3, jnp.int32),  # max_count starts at 3 (APD.cu:1882)
+        jnp.full((N,), jnp.inf),
+        jnp.zeros((N, 4), jnp.float32),
+        jnp.full((N, 3), -1, jnp.int32),
+        jnp.zeros((N,), bool),
+    )
+    keys = jax.random.split(k_ransac, _RANSAC_ITERS)
+    (best_count, _, best_plane, best_abc, has_plane), _ = jax.lax.scan(
+        ransac_step, init, keys
+    )
+
+    # --- select the 8 inliers nearest the best plane (APD.cu:1950-1967) ---
+    dist = jnp.abs(
+        jnp.sum(best_plane[:, None, :3] * pts3d, axis=-1) + best_plane[:, None, 3]
+    )
+    inlier = found & (dist / depth_diff < thr)
+    slot = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    is_vertex = (
+        (slot == best_abc[:, 0:1]) | (slot == best_abc[:, 1:2]) | (slot == best_abc[:, 2:3])
+    )
+    weight = jnp.where(inlier, dist - is_vertex.astype(jnp.float32), jnp.inf)
+    order2 = jnp.argsort(weight, axis=1, stable=True)[:, :_NUM_ANCHORS]
+    ax = jnp.take_along_axis(jnp.where(inlier, spx, -1), order2, axis=1)
+    ay = jnp.take_along_axis(jnp.where(inlier, spy, -1), order2, axis=1)
+
+    reliable = has_plane & (num_found > 3) & alive
+    ax = jnp.where(reliable[:, None], ax, -1)
+    ay = jnp.where(reliable[:, None], ay, -1)
+
+    coords = jnp.concatenate(
+        [weak_xy[:, None, :], jnp.stack([ax, ay], -1)], axis=1
+    )  # [N, 9, 2]
+
+    # NeigbourUpdate: unreliable WEAK -> UNKNOWN (APD.cu:1971-1987)
+    demote = alive & ~reliable
+    iy = jnp.where(demote, weak_xy[:, 1], -1)
+    ix = jnp.where(demote, weak_xy[:, 0], -1)
+    ps = pixel_state.at[iy, ix].set(jnp.uint8(PixelState.UNKNOWN), mode="drop")
+    return AnchorData(coords=coords), ps
+
+
+def deformed_cost_vector(
+    ctx: CostContext,
+    weak_xy: jax.Array,
+    plane: jax.Array,
+    anchors: AnchorData,
+    selected_grid: jax.Array,
+    cfg: PassConfig,
+) -> jax.Array:
+    """Deformed (APD) NCC per view: [V, N]
+    (ComputeBilateralNCCNew: APD.cu:400-528).
+
+    cost = 0.25 * center_patch + 0.75 * mean(anchor patches), with anchors
+    warped by the *center pixel's* candidate homography. Anchors warping
+    out of the image contribute COST_MAX if that view is selected at the
+    anchor pixel, and are excluded otherwise.
+    """
+    wx = weak_xy[..., 0].astype(jnp.float32)
+    wy = weak_xy[..., 1].astype(jnp.float32)
+    H, W = ctx.height, ctx.width
+
+    def per_view(v):
+        center = ncc.ncc_cost_view(
+            ctx, v, plane, cfg.strong_radius, cfg.strong_increment, xs=wx, ys=wy
+        )  # [N]
+
+        def anchor_cost(k):
+            a = anchors.coords[:, k]  # [N, 2]
+            axf = a[..., 0].astype(jnp.float32)
+            ayf = a[..., 1].astype(jnp.float32)
+            valid = a[..., 0] >= 0
+            # warp of the anchor point itself (bounds check, APD.cu:438-450)
+            adirs = geometry.pixel_dirs(ctx.cams.K[0], axf, ayf)
+            n = plane[..., :3]
+            w = plane[..., 3]
+            ndir = jnp.sum(n * adirs, axis=-1)
+            Hp = geometry.mat3_vec(ctx.wc.M[v], adirs) - ctx.wc.b[v] * (
+                ndir / w
+            )[..., None]
+            qx = Hp[..., 0] / Hp[..., 2]
+            qy = Hp[..., 1] / Hp[..., 2]
+            oob = (qx < 0) | (qy < 0) | (qx >= W) | (qy >= H)
+            cost = ncc.ncc_cost_view(
+                ctx, v, plane, cfg.weak_radius, cfg.weak_increment, xs=axf, ys=ayf
+            )
+            sel_at_anchor = sampling.gather_grid(
+                selected_grid[v], a[..., 0], a[..., 1]
+            )
+            include = valid & (~oob | sel_at_anchor)
+            value = jnp.where(oob, COST_MAX, cost)
+            return jnp.where(include, value, 0.0), include
+
+        costs, includes = jax.lax.map(
+            anchor_cost, jnp.arange(1, NEIGHBOUR_NUM)
+        )  # [8, N]
+        cnt = jnp.sum(includes, axis=0).astype(jnp.float32)
+        strong_cost = jnp.minimum(
+            jnp.sum(costs, axis=0) / jnp.maximum(cnt, 1.0), COST_MAX
+        )
+        total = jnp.where(
+            cnt > 0, 0.25 * center + 0.75 * strong_cost, center
+        )
+        return total
+
+    costs = jax.lax.map(per_view, jnp.arange(ctx.num_views))  # [V, N]
+    return jnp.where(ctx.src_valid[:, None], costs, COST_MAX)
+
+
+def ransac_fit_planes(
+    ctx: CostContext,
+    planes_grid: jax.Array,
+    weak_xy: jax.Array,
+    anchors: AnchorData,
+    key: jax.Array,
+) -> jax.Array:
+    """Per-iteration RANSAC plane fit over the anchors' current 3D points
+    (RANSACToGetFitPlane: APD.cu:2272-2384). Returns [N, 4]; all-zero when
+    no valid plane was found."""
+    N = weak_xy.shape[0]
+    wx = weak_xy[..., 0].astype(jnp.float32)
+    wy = weak_xy[..., 1].astype(jnp.float32)
+
+    a = anchors.coords[:, 1:]  # [N, 8, 2]
+    valid = a[..., 0] >= 0
+    # compact valid anchors to the front
+    order = jnp.argsort(~valid, axis=1, stable=True)
+    a = jnp.take_along_axis(a, order[..., None].repeat(2, -1), axis=1)
+    valid = jnp.take_along_axis(valid, order, axis=1)
+    cnt = jnp.sum(valid, axis=1)
+
+    axf = a[..., 0].astype(jnp.float32)
+    ayf = a[..., 1].astype(jnp.float32)
+    anchor_planes = sampling.gather_grid(planes_grid, a[..., 0], a[..., 1])  # [N,8,4]
+    depth = geometry.depth_from_plane(ctx.cams.K[0], anchor_planes, axf, ayf)
+    pts3d = geometry.pixel_dirs(ctx.cams.K[0], axf, ayf) * depth[..., None]
+
+    def step(carry, k_it):
+        best_cost, best_plane, has = carry
+        idx = jax.random.randint(k_it, (N, 3), 0, 1 << 30) % jnp.maximum(cnt, 1)[:, None]
+        ia, ib, ic = idx[:, 0], idx[:, 1], idx[:, 2]
+        distinct = (ia != ib) & (ib != ic) & (ia != ic)
+
+        def take3(i):
+            p3 = jnp.take_along_axis(pts3d, i[:, None, None].repeat(3, -1), axis=1)[:, 0]
+            p2 = jnp.take_along_axis(a, i[:, None, None].repeat(2, -1), axis=1)[:, 0]
+            return p3, p2.astype(jnp.float32)
+
+        A3, A2 = take3(ia)
+        B3, B2 = take3(ib)
+        C3, C2 = take3(ic)
+        contains = _point_in_triangle(A2, B2, C2, jnp.stack([wx, wy], -1))
+        plane, degen = _plane_from_triangle(A3, B3, C3)
+        slot = jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
+        chosen = (slot == ia[:, None]) | (slot == ib[:, None]) | (slot == ic[:, None])
+        dist = jnp.abs(jnp.sum(plane[:, None, :3] * pts3d, -1) + plane[:, None, 3])
+        cost = jnp.sum(jnp.where(valid & ~chosen, dist, 0.0), axis=1)
+        ok = distinct & contains & ~degen & (cnt >= 3)
+        better = ok & (cost < best_cost)
+        return (
+            jnp.where(better, cost, best_cost),
+            jnp.where(better[:, None], plane, best_plane),
+            has | better,
+        ), None
+
+    init = (jnp.full((N,), jnp.inf), jnp.zeros((N, 4), jnp.float32), jnp.zeros((N,), bool))
+    keys = jax.random.split(key, _RANSAC_ITERS)
+    (_, best_plane, has), _ = jax.lax.scan(step, init, keys)
+
+    # orient toward the camera (APD.cu:2368-2380); only the ray direction
+    # matters for the sign
+    dirs = geometry.pixel_dirs(ctx.cams.K[0], wx, wy)
+    flip = jnp.sum(best_plane[:, :3] * dirs, axis=-1) > 0
+    best_plane = jnp.where(flip[:, None], -best_plane, best_plane)
+    return jnp.where(has[:, None], best_plane, 0.0)
+
+
+def propagate_weak(
+    ctx: CostContext,
+    st: StrongState,
+    pixel_state: jax.Array,
+    weak_xy: jax.Array,
+    anchors: AnchorData,
+    iter_idx: jax.Array,
+    key: jax.Array,
+    cfg: PassConfig,
+) -> StrongState:
+    """One weak-pixel sweep (CheckerboardPropagationWeak + weak refinement +
+    plain-NCC cost rewrite; APD.cu:1323-1508, 892-980)."""
+    planes_grid, costs_grid, selected_grid, vw_grid = st
+    N = weak_xy.shape[0]
+    wx = weak_xy[..., 0].astype(jnp.float32)
+    wy = weak_xy[..., 1].astype(jnp.float32)
+    alive = weak_xy[..., 0] >= 0
+    # a pixel may have been demoted to UNKNOWN by NeigbourUpdate
+    still_weak = alive & (
+        sampling.gather_grid(pixel_state, weak_xy[..., 0], weak_xy[..., 1])
+        == PixelState.WEAK
+    )
+    depth_min = ctx.cams.depth_min[0]
+    depth_max = ctx.cams.depth_max[0]
+    k_fit, k_mc, k_ref = jax.random.split(key, 3)
+
+    # --- per-iteration RANSAC fit planes (APD.cu:2449) ---
+    fit_planes = ransac_fit_planes(ctx, planes_grid, weak_xy, anchors, k_fit)
+
+    dirs_c = geometry.pixel_dirs(ctx.cams.K[0], wx, wy)  # [N, 3]
+
+    # --- candidates: the 8 anchors' hypotheses, STRONG anchors only ---
+    acoords = anchors.coords[:, 1:]  # [N, 8, 2]
+    a_state = sampling.gather_grid(pixel_state, acoords[..., 0], acoords[..., 1])
+    flag = (acoords[..., 0] >= 0) & (a_state == PixelState.STRONG)  # [N, 8]
+    cand_planes = sampling.gather_grid(planes_grid, acoords[..., 0], acoords[..., 1])
+
+    def cand_cost(k):
+        cv = deformed_cost_vector(
+            ctx, weak_xy, cand_planes[:, k], anchors, selected_grid, cfg
+        )  # [V, N]
+        return cv
+
+    cost_array = jax.lax.map(cand_cost, jnp.arange(_NUM_ANCHORS))  # [8, V, N]
+    # aggregate-init quirk: invalid candidates contribute 0 (see propagation)
+    cost_array = jnp.where(flag.T[:, None, :], cost_array, 0.0)
+
+    # --- priors from anchors' selected views (APD.cu:1370-1384) ---
+    a_sel = sampling.gather_grid(
+        jnp.moveaxis(selected_grid, 0, -1), acoords[..., 0], acoords[..., 1]
+    )  # [N, 8, V]
+    a_valid = (acoords[..., 0] >= 0)[..., None]
+    priors = jnp.sum(
+        jnp.where(a_valid, jnp.where(a_sel, 0.9, 0.1), 0.0), axis=1
+    ).T  # [V, N]
+    priors = priors * ctx.src_valid[:, None]
+
+    weights, weight_norm, temp_sel = joint_view_selection(
+        cost_array, priors, iter_idx, k_mc, cfg.num_mc_samples
+    )  # [V, N]
+
+    # --- geometric consistency terms (APD.cu:1441-1447) ---
+    if cfg.geom_consistency:
+        def cand_geom(k):
+            g = ncc.geom_cost_vector(ctx, cand_planes[:, k], xs=wx, ys=wy)
+            return g
+
+        geom_arr = jax.lax.map(cand_geom, jnp.arange(_NUM_ANCHORS))  # [8, V, N]
+        geom_arr = jnp.where(
+            flag.T[:, None, :], geom_arr, GEOM_COST_MAX
+        )  # missing candidate -> penalty 3.0
+        total_arr = cost_array + cfg.geom_factor * geom_arr
+    else:
+        total_arr = cost_array
+
+    final_costs = jnp.sum(weights[None] * total_arr, axis=1) / jnp.maximum(
+        weight_norm[None], 1e-30
+    )  # [8, N]
+    min_idx = jnp.argmin(final_costs, axis=0)  # [N]
+
+    # --- current-plane cost under the new weights ---
+    cur_plane = sampling.gather_grid(planes_grid, weak_xy[..., 0], weak_xy[..., 1])
+    cv_now = deformed_cost_vector(ctx, weak_xy, cur_plane, anchors, selected_grid, cfg)
+    if cfg.geom_consistency:
+        cv_now = cv_now + cfg.geom_factor * ncc.geom_cost_vector(
+            ctx, cur_plane, xs=wx, ys=wy
+        )
+    cost_now = jnp.sum(weights * cv_now, axis=0) / jnp.maximum(weight_norm, 1e-30)
+    cost_pre = cost_now
+
+    best_flag = jnp.take_along_axis(flag, min_idx[:, None], axis=1)[:, 0]
+    best_cost = jnp.take_along_axis(final_costs, min_idx[None], axis=0)[0]
+    best_plane = jnp.take_along_axis(
+        cand_planes, min_idx[:, None, None].repeat(4, -1), axis=1
+    )[:, 0]
+    depth_before = geometry.depth_from_plane(ctx.cams.K[0], best_plane, wx, wy)
+    adopt = (
+        best_flag
+        & (depth_before >= depth_min)
+        & (depth_before <= depth_max)
+        & (best_cost < cost_now)
+    )
+    plane_now = jnp.where(adopt[:, None], best_plane, cur_plane)
+    cost_now = jnp.where(adopt, best_cost, cost_now)
+    sel_now = jnp.where(adopt[None], temp_sel, sampling.gather_grid(
+        jnp.moveaxis(selected_grid, 0, -1), weak_xy[..., 0], weak_xy[..., 1]
+    ).T)
+
+    # --- weak refinement (APD.cu:892-980) ---
+    def eval_plane(plane):
+        cv = deformed_cost_vector(ctx, weak_xy, plane, anchors, selected_grid, cfg)
+        if cfg.geom_consistency:
+            cv = cv + cfg.geom_factor * ncc.geom_cost_vector(ctx, plane, xs=wx, ys=wy)
+        return jnp.sum(weights * cv, axis=0) / jnp.maximum(weight_norm, 1e-30)
+
+    # the fit plane is tested first; if it is the zero plane, the reference
+    # returns before the random refinement (APD.cu:910-914)
+    fit_zero = jnp.all(fit_planes[:, :3] == 0.0, axis=-1)
+    fit_cost = eval_plane(fit_planes)
+    fit_depth = geometry.depth_from_plane(ctx.cams.K[0], fit_planes, wx, wy)
+    fit_ok = (
+        ~fit_zero
+        & (fit_depth >= depth_min)
+        & (fit_depth <= depth_max)
+        & (fit_cost < cost_now)
+    )
+    plane_now = jnp.where(fit_ok[:, None], fit_planes, plane_now)
+    cost_now = jnp.where(fit_ok, fit_cost, cost_now)
+
+    cur_depth = geometry.depth_from_plane(ctx.cams.K[0], plane_now, wx, wy)
+    depths5, normals5 = hypotheses.refinement_combos(
+        k_ref, ctx.cams.K[0], wx, wy, dirs_c,
+        plane_now[..., :3], cur_depth, depth_min, depth_max,
+    )
+
+    def refine_body(carry, i):
+        plane_c, cost_c = carry
+        n_i = normals5[i]
+        d_i = depths5[i]
+        w_i = geometry.dist_to_origin(ctx.cams.K[0], wx, wy, d_i, n_i)
+        plane_i = jnp.concatenate([n_i, w_i[..., None]], axis=-1)
+        c_i = eval_plane(plane_i)
+        d_chk = geometry.depth_from_plane(ctx.cams.K[0], plane_i, wx, wy)
+        ok = (
+            ~fit_zero  # reference returns early on zero fit plane
+            & (d_chk >= depth_min)
+            & (d_chk <= depth_max)
+            & (c_i < cost_c)
+        )
+        return (
+            jnp.where(ok[:, None], plane_i, plane_c),
+            jnp.where(ok, c_i, cost_c),
+        ), None
+
+    (plane_now, cost_now), _ = jax.lax.scan(
+        refine_body, (plane_now, cost_now), jnp.arange(5)
+    )
+
+    # --- acceptance by run state (APD.cu:1488-1497) ---
+    if cfg.state == RunState.REFINE_INIT:
+        accept = cost_now < cost_pre - 0.1
+        plane_final = jnp.where(accept[:, None], plane_now, cur_plane)
+    else:
+        plane_final = plane_now
+
+    # --- cost rewrite with plain NCC for strong/weak comparability
+    # (APD.cu:1499-1507) ---
+    cv_plain = ncc.cost_vector(
+        ctx, plane_final, cfg.strong_radius, cfg.strong_increment, xs=wx, ys=wy
+    )
+    cost_final = jnp.sum(weights * cv_plain, axis=0) / jnp.maximum(weight_norm, 1e-30)
+
+    # --- scatter back to the grid ---
+    upd = still_weak & (weight_norm > 0)
+    ix = jnp.where(upd, weak_xy[..., 0], -1)
+    iy = jnp.where(upd, weak_xy[..., 1], -1)
+    planes_grid = planes_grid.at[iy, ix].set(plane_final, mode="drop")
+    costs_grid = costs_grid.at[iy, ix].set(cost_final, mode="drop")
+    sel_grid_T = jnp.moveaxis(selected_grid, 0, -1).at[iy, ix].set(
+        sel_now.T, mode="drop"
+    )
+    vw_grid_T = jnp.moveaxis(vw_grid, 0, -1).at[iy, ix].set(weights.T, mode="drop")
+    return StrongState(
+        planes=planes_grid,
+        costs=costs_grid,
+        selected=jnp.moveaxis(sel_grid_T, -1, 0),
+        view_weights=jnp.moveaxis(vw_grid_T, -1, 0),
+    )
