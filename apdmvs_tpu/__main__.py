@@ -1,0 +1,49 @@
+"""CLI: ``python -m apdmvs_tpu <dense_folder>`` — the reference's
+``./APD <dense_folder> [gpu_index]`` (main.cpp:140-153), with flags for the
+extra capabilities (fusion variants, debug dumps, intermediates policy)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        prog="apdmvs_tpu",
+        description="TPU-native APD-MVS: multi-view stereo reconstruction",
+    )
+    ap.add_argument("dense_folder", help="dataset folder with images/ cams/ pair.txt")
+    ap.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    ap.add_argument(
+        "--fusion",
+        choices=["eth", "tat_intermediate", "tat_advanced"],
+        default="eth",
+        help="fusion variant (reference: APD.cpp:826-1296)",
+    )
+    ap.add_argument(
+        "--show-medium-result",
+        action="store_true",
+        help="dump per-pass depth/normal/weak JPEGs (reference: main.cpp:127-134)",
+    )
+    ap.add_argument(
+        "--delete-intermediates",
+        action="store_true",
+        help="remove per-view result dirs after fusion (reference default, main.cpp:220-230)",
+    )
+    ap.add_argument("--max-rounds", type=int, default=None, help="cap pyramid rounds")
+    args = ap.parse_args()
+
+    from apdmvs_tpu import scene
+
+    scene.run_scene(
+        args.dense_folder,
+        seed=args.seed,
+        fusion_variant=args.fusion,
+        show_medium_result=args.show_medium_result,
+        keep_intermediates=not args.delete_intermediates,
+        max_rounds=args.max_rounds,
+    )
+
+
+if __name__ == "__main__":
+    main()

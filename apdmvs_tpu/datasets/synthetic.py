@@ -192,7 +192,7 @@ def write_mvsnet_dataset(
     """Materialize the on-disk dataset contract the pipeline consumes
     (images/%08d.jpg, cams/%08d_cam.txt, pair.txt), as produced by the
     reference's converter (colmap2mvsnet.py)."""
-    import cv2
+    from PIL import Image
 
     folder = str(folder)
     os.makedirs(os.path.join(folder, "images"), exist_ok=True)
@@ -202,10 +202,8 @@ def write_mvsnet_dataset(
     n = len(cams)
     for i, cam in enumerate(cams):
         idx = formats.to_format_index(i)
-        cv2.imwrite(
-            os.path.join(folder, "images", f"{idx}.jpg"),
-            np.clip(images[i], 0, 255).astype(np.uint8),
-            [int(cv2.IMWRITE_JPEG_QUALITY), 98],
+        Image.fromarray(np.clip(images[i], 0, 255).astype(np.uint8)).save(
+            os.path.join(folder, "images", f"{idx}.jpg"), quality=98
         )
         dmin, dmax = depth_ranges
         interval = (dmax - dmin) / 192.0

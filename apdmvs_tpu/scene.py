@@ -1,0 +1,456 @@
+"""Scene orchestrator: problem list, multi-scale round scheduler, fusion.
+
+The TPU-native equivalent of the reference's L4/L3 host layers
+(main.cpp:140-233 `main`, main.cpp:91-138 `ProcessProblem`,
+APD.cpp:399-583 `InuputInitialization`): thin host Python that loads the
+dataset contract, drives one jitted PatchMatch program per (view, pass),
+and persists the inter-pass state files.
+
+The file contract is kept byte-compatible with the reference
+(`APD/<id>/depths.dmb|normals.dmb|weak.bin|selected_views.bin`,
+main.cpp:117-124) because it *is* the checkpoint/resume system (SURVEY.md
+§5): a killed run resumes mid-schedule by construction. For speed, freshly
+written arrays are also kept in an in-memory store so geometric-consistency
+passes read from RAM instead of the filesystem round-trip the reference
+does (APD.cpp:492-510).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apdmvs_tpu import fusion as fusion_mod
+from apdmvs_tpu import geometry, pipeline
+from apdmvs_tpu.io import formats, images as imio, render
+from apdmvs_tpu.params import (
+    MAX_IMAGES,
+    PassConfig,
+    PassSpec,
+    PixelState,
+    Problem,
+    RunState,
+    build_schedule,
+    compute_round_num,
+    scaled_size,
+)
+
+
+def generate_sample_list(dense_folder: str | os.PathLike) -> List[Problem]:
+    """Parse pair.txt into problems, dropping sources with score <= 0 and
+    creating per-view result dirs (reference GenerateSampleList:
+    main.cpp:6-49)."""
+    dense_folder = str(dense_folder)
+    pairs = formats.read_pair_file(os.path.join(dense_folder, "pair.txt"))
+    result_root = os.path.join(dense_folder, "APD")
+    os.makedirs(result_root, exist_ok=True)
+    problems: List[Problem] = []
+    for index, (ref_id, srcs) in enumerate(pairs):
+        src_ids = [sid for sid, score in srcs if score > 0.0]
+        # cap total views at MAX_IMAGES (reference: APD.cpp:428-431 exits;
+        # we truncate to the best-scored sources instead and keep going)
+        src_ids = src_ids[: MAX_IMAGES - 1]
+        result_folder = os.path.join(result_root, formats.to_format_index(ref_id))
+        os.makedirs(result_folder, exist_ok=True)
+        problems.append(
+            Problem(
+                index=index,
+                ref_image_id=ref_id,
+                src_image_ids=src_ids,
+                dense_folder=dense_folder,
+                result_folder=result_folder,
+            )
+        )
+    return problems
+
+
+def check_images(dense_folder: str | os.PathLike, problems: Sequence[Problem]) -> Tuple[int, int]:
+    """Assert all reference images share one resolution; return (w, h)
+    (reference CheckImages: main.cpp:51-70)."""
+    from PIL import Image
+
+    size: Optional[Tuple[int, int]] = None
+    for p in problems:
+        path = os.path.join(
+            str(dense_folder), "images", formats.to_format_index(p.ref_image_id) + ".jpg"
+        )
+        with Image.open(path) as im:
+            if size is None:
+                size = im.size
+            elif im.size != size:
+                raise ValueError(
+                    f"image {p.ref_image_id} size {im.size} != {size}; "
+                    "all images must share one resolution"
+                )
+    assert size is not None
+    return size
+
+
+def _bucket_capacity(count: int, total: int) -> int:
+    """Round the weak-pixel worklist capacity up to a power-of-two bucket to
+    bound jit recompiles across (image, pass) combinations."""
+    if count <= 0:
+        return 0
+    cap = 1024
+    while cap < count:
+        cap *= 2
+    return min(cap, total)
+
+
+class SceneCache:
+    """Host-side caches: full-res grayscale images + cameras per image id,
+    per-scale resized image stacks, and the freshly-written pass outputs
+    (in-memory mirror of the reference's on-disk inter-pass state)."""
+
+    def __init__(self, dense_folder: str):
+        self.dense_folder = dense_folder
+        self._gray: Dict[int, np.ndarray] = {}
+        self._cam: Dict[int, dict] = {}
+        self._scaled: Dict[Tuple[int, int], np.ndarray] = {}
+        # in-memory pass outputs: id -> dict with depth/normal/weak/selected
+        self.outputs: Dict[int, Dict[str, np.ndarray]] = {}
+
+    def gray(self, image_id: int) -> np.ndarray:
+        if image_id not in self._gray:
+            path = os.path.join(
+                self.dense_folder, "images", formats.to_format_index(image_id) + ".jpg"
+            )
+            self._gray[image_id] = imio.load_gray_f32(path)
+        return self._gray[image_id]
+
+    def camera(self, image_id: int) -> dict:
+        if image_id not in self._cam:
+            path = os.path.join(
+                self.dense_folder, "cams", formats.to_format_index(image_id) + "_cam.txt"
+            )
+            self._cam[image_id] = formats.read_camera(path)
+        return self._cam[image_id]
+
+    def gray_scaled(self, image_id: int, new_w: int, new_h: int) -> np.ndarray:
+        key = (image_id, new_w)
+        if key not in self._scaled:
+            img = self.gray(image_id)
+            self._scaled[key] = imio.resize_bilinear(img, new_w, new_h).astype(np.float32)
+        return self._scaled[key]
+
+
+def _load_prior(
+    cache: SceneCache,
+    problem: Problem,
+    num_views: int,
+    W: int,
+    H: int,
+) -> Optional[pipeline.PassState]:
+    """Load the previous pass's outputs for this view (memory first, then
+    disk), rescaled to the current pyramid level (reference:
+    APD.cpp:552-581). Returns None if nothing exists yet (FIRST_INIT)."""
+    out = cache.outputs.get(problem.ref_image_id)
+    if out is None:
+        depth_path = os.path.join(problem.result_folder, "depths.dmb")
+        if not os.path.exists(depth_path):
+            return None
+        out = {
+            "depth": formats.read_bin_mat(depth_path),
+            "normal": formats.read_bin_mat(
+                os.path.join(problem.result_folder, "normals.dmb")
+            ),
+            "weak": formats.read_bin_mat(os.path.join(problem.result_folder, "weak.bin")),
+            "selected": formats.read_bin_mat(
+                os.path.join(problem.result_folder, "selected_views.bin")
+            ),
+        }
+        cache.outputs[problem.ref_image_id] = out
+    depth = imio.resize_nearest(out["depth"], W, H)
+    normal = imio.resize_nearest(out["normal"], W, H)
+    weak = imio.resize_nearest(out["weak"], W, H)
+    sel_mask = imio.resize_nearest(out["selected"], W, H)
+    selected = pipeline.bitmask_to_selected(sel_mask, num_views)
+    return pipeline.PassState(
+        depth=jnp.asarray(depth, jnp.float32),
+        normal_world=jnp.asarray(normal, jnp.float32),
+        pixel_state=jnp.asarray(weak, jnp.uint8),
+        selected=jnp.asarray(selected),
+    )
+
+
+def _load_src_depths(
+    cache: SceneCache, problem: Problem, view_ids: Sequence[int], W: int, H: int
+) -> np.ndarray:
+    """Current depth estimates of the source views for geometric-consistency
+    costing, rescaled to this pass's resolution (reference: APD.cpp:492-510).
+    Entry 0 (the ref view itself) is zeros (unused)."""
+    V = len(view_ids)
+    depths = np.zeros((V, H, W), np.float32)
+    for v, vid in enumerate(view_ids):
+        if v == 0:
+            continue
+        out = cache.outputs.get(vid)
+        if out is None:
+            path = os.path.join(
+                cache.dense_folder, "APD", formats.to_format_index(vid), "depths.dmb"
+            )
+            if not os.path.exists(path):
+                continue
+            d = formats.read_bin_mat(path)
+        else:
+            d = out["depth"]
+        depths[v] = imio.resize_nearest(d, W, H)
+    return depths
+
+
+def process_problem(
+    cache: SceneCache,
+    problem: Problem,
+    spec: PassSpec,
+    full_size: Tuple[int, int],
+    key: jax.Array,
+    num_views_pad: Optional[int] = None,
+    show_medium_result: bool = False,
+) -> float:
+    """One (view, pass): the reference's ProcessProblem (main.cpp:91-138).
+
+    Loads inputs, runs the jitted PatchMatch pass, clamps out-of-range
+    depths, persists the four state files. Returns wall-clock seconds.
+    """
+    t0 = time.time()
+    full_w, full_h = full_size
+    W, H = scaled_size(full_w, full_h, spec.scale_size)
+
+    view_ids = [problem.ref_image_id] + list(problem.src_image_ids)
+    V_real = len(view_ids)
+    V = num_views_pad or V_real
+
+    # ---- images at this scale, padded to V views ----
+    imgs = np.zeros((V, H, W), np.float32)
+    for v, vid in enumerate(view_ids):
+        imgs[v] = cache.gray_scaled(vid, W, H)
+    src_valid = np.zeros(V, bool)
+    src_valid[1:V_real] = True
+
+    # ---- cameras, intrinsics scaled to this level (APD.cpp:480-483) ----
+    Ks, Rs, ts = [], [], []
+    for vid in view_ids:
+        cam = cache.camera(vid)
+        Ks.append(cam["K"])
+        Rs.append(cam["R"])
+        ts.append(cam["t"])
+    for _ in range(V - V_real):  # pad with the ref camera (marked invalid)
+        Ks.append(Ks[0])
+        Rs.append(Rs[0])
+        ts.append(ts[0])
+    K = np.stack(Ks).astype(np.float32)
+    scale_x = W / float(full_w)
+    scale_y = H / float(full_h)
+    K = np.asarray(geometry.scale_intrinsics(jnp.asarray(K), scale_x, scale_y))
+    ref_cam = cache.camera(problem.ref_image_id)
+    # depth range: ref view's range x 0.6 / 1.2 (reference: APD.cpp:454-455)
+    dmin = float(ref_cam["depth_min"]) * 0.6
+    dmax = float(ref_cam["depth_max"]) * 1.2
+    cams = geometry.make_cameras(
+        K, np.stack(Rs), np.stack(ts), np.full(V, dmin, np.float32), np.full(V, dmax, np.float32)
+    )
+
+    # ---- prior state ----
+    prior = None
+    if spec.state != RunState.FIRST_INIT:
+        prior = _load_prior(cache, problem, V, W, H)
+    if prior is None:
+        prior = pipeline.PassState(
+            depth=jnp.zeros((H, W), jnp.float32),
+            normal_world=jnp.zeros((H, W, 3), jnp.float32),
+            pixel_state=jnp.full((H, W), PixelState.STRONG, jnp.uint8),
+            selected=jnp.zeros((V, H, W), bool),
+        )
+        spec = dataclasses.replace(spec, state=RunState.FIRST_INIT, use_APD=False,
+                                   geom_consistency=False)
+
+    # ---- weak worklist capacity (host-known: weak map is a pass input) ----
+    weak_capacity = 0
+    if spec.use_APD:
+        count = int(np.sum(np.asarray(prior.pixel_state) == PixelState.WEAK))
+        weak_capacity = _bucket_capacity(count, H * W)
+        if weak_capacity == 0:
+            spec = dataclasses.replace(spec, use_APD=False)
+
+    # ---- source depth maps for geometric consistency ----
+    depth_maps = None
+    if spec.geom_consistency:
+        dm = _load_src_depths(cache, problem, view_ids, W, H)
+        if dm[1:V_real].any():
+            pad = np.zeros((V - V_real, H, W), np.float32)
+            depth_maps = jnp.asarray(np.concatenate([dm, pad]) if V > V_real else dm)
+        else:
+            spec = dataclasses.replace(spec, geom_consistency=False)
+
+    cfg = PassConfig.from_spec(spec)
+    out = pipeline.patchmatch_pass(
+        jnp.asarray(imgs),
+        cams,
+        jnp.asarray(src_valid),
+        prior,
+        key,
+        cfg,
+        jnp.asarray(spec.ransac_threshold, jnp.float32),
+        depth_maps=depth_maps,
+        weak_capacity=weak_capacity,
+    )
+    out = pipeline.clamp_outputs(out, dmin, dmax)
+
+    # ---- persist (main.cpp:117-124) + in-memory mirror ----
+    depth = np.asarray(out.depth, np.float32)
+    normal = np.asarray(out.normal_world, np.float32)
+    weak = np.asarray(out.pixel_state, np.uint8)
+    selected = pipeline.selected_to_bitmask(np.asarray(out.selected))
+    formats.write_bin_mat(os.path.join(problem.result_folder, "depths.dmb"), depth)
+    formats.write_bin_mat(os.path.join(problem.result_folder, "normals.dmb"), normal)
+    formats.write_bin_mat(os.path.join(problem.result_folder, "weak.bin"), weak)
+    formats.write_bin_mat(
+        os.path.join(problem.result_folder, "selected_views.bin"), selected
+    )
+    cache.outputs[problem.ref_image_id] = {
+        "depth": depth,
+        "normal": normal,
+        "weak": weak,
+        "selected": selected,
+    }
+
+    if show_medium_result:
+        tag = f"{spec.pass_index}"
+        imio.save_image_u8(
+            os.path.join(problem.result_folder, f"depth_{tag}.jpg"),
+            render.render_depth(depth, dmin, dmax),
+        )
+        imio.save_image_u8(
+            os.path.join(problem.result_folder, f"normal_{tag}.jpg"),
+            render.render_normal(normal),
+        )
+        imio.save_image_u8(
+            os.path.join(problem.result_folder, f"weak_{tag}.jpg"),
+            render.render_weak(weak),
+        )
+    return time.time() - t0
+
+
+def run_fusion(
+    dense_folder: str | os.PathLike,
+    problems: Sequence[Problem],
+    variant: str = "eth",
+    out_name: str = "APD.ply",
+) -> str:
+    """Load all per-view outputs and fuse to a point cloud
+    (reference RunFusion: APD.cpp:826-977, called at main.cpp:219)."""
+    dense_folder = str(dense_folder)
+    id_to_pos = {p.ref_image_id: i for i, p in enumerate(problems)}
+    views: List[fusion_mod.FusionView] = []
+    for p in problems:
+        cam = formats.read_camera(
+            os.path.join(dense_folder, "cams", formats.to_format_index(p.ref_image_id) + "_cam.txt")
+        )
+        depth = formats.read_bin_mat(os.path.join(p.result_folder, "depths.dmb"))
+        normal = formats.read_bin_mat(os.path.join(p.result_folder, "normals.dmb"))
+        weak = formats.read_bin_mat(os.path.join(p.result_folder, "weak.bin"))
+        H, W = depth.shape
+        bgr = imio.load_bgr_u8(
+            os.path.join(dense_folder, "images", formats.to_format_index(p.ref_image_id) + ".jpg")
+        )
+        # rescale color image + K to depth-map size (APD.cpp:729-750)
+        if bgr.shape[:2] != (H, W):
+            scale_x = W / bgr.shape[1]
+            scale_y = H / bgr.shape[0]
+            bgr = imio.resize_bilinear(bgr.astype(np.float32), W, H).astype(np.uint8)
+            K = np.asarray(geometry.scale_intrinsics(jnp.asarray(cam["K"]), scale_x, scale_y))
+        else:
+            K = cam["K"]
+        block = None
+        block_path = os.path.join(dense_folder, "blocks", f"mask_{p.ref_image_id}.jpg")
+        if os.path.exists(block_path):  # optional ROI masks (APD.cpp:848-852)
+            block = imio.load_gray_f32(block_path).astype(np.uint8)
+            block = imio.resize_nearest(block, W, H)
+        views.append(
+            fusion_mod.FusionView(
+                K=np.asarray(K, np.float64),
+                R=np.asarray(cam["R"], np.float64),
+                t=np.asarray(cam["t"], np.float64),
+                image_bgr=bgr,
+                depth=depth,
+                normal=normal,
+                weak=weak,
+                block=block,
+            )
+        )
+    src_ids = [
+        [id_to_pos[s] for s in p.src_image_ids if s in id_to_pos] for p in problems
+    ]
+    if variant == "eth":
+        coords, colors = fusion_mod.fuse_eth(views, src_ids)
+    elif variant == "tat_intermediate":
+        coords, colors = fusion_mod.fuse_tat(views, src_ids, advanced=False)
+    elif variant == "tat_advanced":
+        coords, colors = fusion_mod.fuse_tat(views, src_ids, advanced=True)
+    else:
+        raise ValueError(f"unknown fusion variant {variant!r}")
+    out_path = os.path.join(dense_folder, "APD", out_name)
+    formats.export_point_cloud(out_path, coords, colors)
+    return out_path
+
+
+def run_scene(
+    dense_folder: str | os.PathLike,
+    seed: int = 0,
+    fusion_variant: str = "eth",
+    show_medium_result: bool = False,
+    keep_intermediates: bool = True,
+    max_rounds: Optional[int] = None,
+    verbose: bool = True,
+) -> str:
+    """Full reconstruction: the reference `main()` (main.cpp:140-233).
+
+    Multi-scale round scheduler -> per-(view, pass) PatchMatch -> fusion ->
+    APD/APD.ply. Returns the PLY path.
+    """
+    dense_folder = str(dense_folder)
+    problems = generate_sample_list(dense_folder)
+    if verbose:
+        print(f"There are {len(problems)} problems needed to be processed!")
+    full_size = check_images(dense_folder, problems)
+    round_num = compute_round_num(*full_size)
+    if max_rounds is not None:
+        round_num = min(round_num, max_rounds)
+    if verbose:
+        print(f"Round num: {round_num}")
+    schedule = build_schedule(round_num)
+    cache = SceneCache(dense_folder)
+    V_pad = max(1 + len(p.src_image_ids) for p in problems)
+    root_key = jax.random.PRNGKey(seed)
+
+    for spec in schedule:
+        for problem in problems:
+            key = jax.random.fold_in(
+                jax.random.fold_in(root_key, spec.pass_index), problem.index
+            )
+            dt = process_problem(
+                cache, problem, spec, full_size, key,
+                num_views_pad=V_pad, show_medium_result=show_medium_result,
+            )
+            if verbose:
+                print(
+                    f"round {spec.round_index} pass {spec.pass_index} "
+                    f"view {problem.ref_image_id:08d} ({spec.state.name}, "
+                    f"scale 1/{spec.scale_size}): {dt*1000:.0f} ms"
+                )
+
+    ply = run_fusion(dense_folder, problems, variant=fusion_variant)
+    if verbose:
+        print(f"Fused point cloud: {ply}")
+
+    if not keep_intermediates:  # reference deletes per-view dirs (main.cpp:220-230)
+        for p in problems:
+            shutil.rmtree(p.result_folder, ignore_errors=True)
+    return ply

@@ -1,0 +1,99 @@
+"""End-to-end scene tests: dataset contract -> scheduler -> fusion -> PLY.
+
+Mirrors the reference's only smoke flow (README.md:45-67: convert a scene,
+run ./APD, inspect APD.ply) as automated metric tests on synthetic oracle
+scenes (SURVEY.md §4 item 5).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from apdmvs_tpu import fusion, scene
+from apdmvs_tpu.datasets import synthetic
+from apdmvs_tpu.io import formats
+from apdmvs_tpu.params import PixelState
+
+
+def _point_to_planes_dist(points: np.ndarray, planes) -> np.ndarray:
+    """Min |n . (X - p0)| over scene planes for each point."""
+    d = np.full(points.shape[0], np.inf)
+    for pl in planes:
+        d = np.minimum(d, np.abs((points - pl.p0) @ pl.n))
+    return d
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("synth_scene")
+    cams, planes = synthetic.make_ring_scene(num_views=4, width=160, height=120)
+    synthetic.write_mvsnet_dataset(folder, cams, planes, depth_ranges=(2.0, 8.0))
+    return str(folder), cams, planes
+
+
+def test_generate_sample_list(scene_dir):
+    folder, cams, planes = scene_dir
+    problems = scene.generate_sample_list(folder)
+    assert len(problems) == 4
+    assert problems[0].ref_image_id == 0
+    assert all(len(p.src_image_ids) == 3 for p in problems)
+    w, h = scene.check_images(folder, problems)
+    assert (w, h) == (160, 120)
+
+
+def test_fusion_oracle(scene_dir):
+    """Fusion of oracle depth/normal maps must reproduce the scene planes."""
+    folder, cams, planes = scene_dir
+    images, depths, normals = synthetic.render_scene(cams, planes)
+    views = []
+    for i, cam in enumerate(cams):
+        bgr = np.repeat(
+            np.clip(images[i], 0, 255).astype(np.uint8)[..., None], 3, axis=-1
+        )
+        views.append(
+            fusion.FusionView(
+                K=cam.K.astype(np.float64),
+                R=cam.R.astype(np.float64),
+                t=cam.t.astype(np.float64),
+                image_bgr=bgr,
+                depth=depths[i],
+                normal=normals[i],
+                weak=np.full(depths[i].shape, PixelState.STRONG, np.uint8),
+            )
+        )
+    n = len(views)
+    src_ids = [[j for j in range(n) if j != i] for i in range(n)]
+    coords, colors = fusion.fuse_eth(views, src_ids)
+    assert coords.shape[0] > 10000  # dense acceptance on oracle inputs
+    dist = _point_to_planes_dist(coords.astype(np.float64), planes)
+    assert np.median(dist) < 0.01
+    assert np.mean(dist < 0.05) > 0.95
+
+    # TAT variants also accept oracle inputs
+    c2, _ = fusion.fuse_tat(views, src_ids, advanced=False)
+    c3, _ = fusion.fuse_tat(views, src_ids, advanced=True)
+    assert c2.shape[0] > 10000
+    assert c3.shape[0] > 10000
+
+
+def test_run_scene_end_to_end(scene_dir):
+    """Full pipeline on a synthetic scene: PLY points must lie on the scene
+    planes (metric parity, SURVEY.md §7 item 5)."""
+    folder, cams, planes = scene_dir
+    ply = scene.run_scene(folder, seed=0, verbose=False)
+    assert os.path.exists(ply)
+    coords, colors = formats.read_point_cloud(ply)
+    assert coords.shape[0] > 3000, coords.shape
+    dist = _point_to_planes_dist(coords.astype(np.float64), planes)
+    # points within 1% of the ~4m scene depth
+    assert np.median(dist) < 0.04, np.median(dist)
+    assert np.mean(dist < 0.1) > 0.80, np.mean(dist < 0.1)
+    # per-view state files persisted (checkpoint/resume contract)
+    d = formats.read_bin_mat(os.path.join(folder, "APD", "00000000", "depths.dmb"))
+    assert d.shape == (120, 160)
+    # resume-from-files: wiping the memory cache and fusing again works
+    problems = scene.generate_sample_list(folder)
+    ply2 = scene.run_fusion(folder, problems, out_name="APD2.ply")
+    c2, _ = formats.read_point_cloud(ply2)
+    assert c2.shape[0] == coords.shape[0]
