@@ -31,7 +31,20 @@ def main() -> None:
         help="remove per-view result dirs after fusion (reference default, main.cpp:220-230)",
     )
     ap.add_argument("--max-rounds", type=int, default=None, help="cap pyramid rounds")
+    ap.add_argument(
+        "--platform",
+        default=None,
+        choices=["cpu", "tpu", "axon"],
+        help="force a JAX platform (the container preimports JAX with the "
+        "TPU platform, so JAX_PLATFORMS in the environment is too late; "
+        "this updates the live config before any computation)",
+    )
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from apdmvs_tpu import scene
 

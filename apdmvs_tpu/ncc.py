@@ -142,7 +142,10 @@ def ncc_cost_view(
     Point mode: evaluates at float coords (xs, ys) of any shape — used for
     worklist (weak-pixel) evaluation and anchor patches, where the plane may
     belong to a different pixel than the patch center (deformed NCC;
-    reference: APD.cu:400-528 anchor loop).
+    reference: APD.cu:400-528 anchor loop). ``plane`` may carry extra
+    leading batch dims relative to xs/ys (e.g. plane [C, N, 4] with xs [N]
+    evaluates C candidate planes per point in one fused batch); the result
+    has the broadcast shape.
 
     Matches ComputeBilateralNCCOld (APD.cu:530-614): the patch-center warp
     out of source bounds costs COST_MAX.
@@ -197,7 +200,8 @@ def ncc_cost_view(
             s_rs + ref_pix * src_pix,
         ), None
 
-    zeros = jnp.zeros_like(xs_)
+    out_shape = jnp.broadcast_shapes(plane.shape[:-1], xs_.shape)
+    zeros = jnp.zeros(out_shape, jnp.float32)
     (s_r, s_rr, s_s, s_ss, s_rs), _ = jax.lax.scan(
         body, (zeros, zeros, zeros, zeros, zeros), offs
     )

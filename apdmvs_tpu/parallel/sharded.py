@@ -1,0 +1,169 @@
+"""View-sharded batched PatchMatch over a 2D (view, space) device mesh.
+
+Design (SURVEY.md §2.8 "TPU-native equivalents"):
+
+- **view axis (DP analogue)**: the batch of N reference-view problems is
+  sharded across chips; every chip runs full PatchMatch for its shard.
+- **space axis (SP analogue)**: image rows are additionally sharded, so a
+  single large view can span chips; XLA inserts halo/gather collectives for
+  the checkerboard propagation and warp gathers.
+- **cross-view depth exchange**: geometric-consistency passes read other
+  views' freshly-estimated depth maps. The reference round-trips these
+  through the filesystem (APD.cpp:492-510); here the [N, H, W] depth stack
+  is sharded over 'view' and each problem gathers its source views' depths
+  with a global take — XLA turns that into an all-gather over ICI.
+
+Everything is plain ``jax.jit`` with ``NamedSharding`` annotations: XLA's
+SPMD partitioner places the collectives (the scaling-book recipe) rather
+than hand-written ``ppermute`` schedules.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from apdmvs_tpu import pipeline
+from apdmvs_tpu.geometry import Cameras
+from apdmvs_tpu.params import PassConfig
+
+
+def make_mesh(
+    n_view: Optional[int] = None, n_space: int = 1, devices=None
+) -> Mesh:
+    """A (view, space) mesh. Defaults to all devices on the view axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_view is None:
+        n_view = len(devices) // n_space
+    devs = np.array(devices[: n_view * n_space]).reshape(n_view, n_space)
+    return Mesh(devs, ("view", "space"))
+
+
+def shard_problems(num_problems: int, n_shards: int) -> Tuple[int, np.ndarray]:
+    """Pad the problem count to a multiple of the view-shard count and
+    return (padded_n, owner shard per problem)."""
+    padded = ((num_problems + n_shards - 1) // n_shards) * n_shards
+    owners = np.arange(padded) % n_shards
+    return padded, owners
+
+
+def _batch_specs(mesh: Mesh):
+    """PartitionSpecs for the batched pass inputs/outputs."""
+    img = P("view", None, "space", None)  # [N, V, H, W]
+    plane2d = P("view", "space", None)  # [N, H, W]
+    vec3 = P("view", "space", None, None)  # [N, H, W, 3]
+    sel = P("view", None, "space", None)  # [N, V, H, W]
+    cams = Cameras(
+        K=P("view"), R=P("view"), t=P("view"), c=P("view"),
+        depth_min=P("view"), depth_max=P("view"),
+    )
+    prior = pipeline.PassState(
+        depth=plane2d, normal_world=vec3, pixel_state=plane2d, selected=sel
+    )
+    out = pipeline.PassOutputs(
+        depth=plane2d, normal_world=vec3, pixel_state=plane2d,
+        selected=sel, costs=plane2d,
+    )
+    return img, cams, prior, out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "weak_capacity", "use_geom")
+)
+def _batched_pass(
+    images: jax.Array,  # [N, V, H, W]
+    cams: Cameras,  # fields [N, V, ...]
+    src_valid: jax.Array,  # [N, V]
+    prior: pipeline.PassState,  # fields [N, ...]
+    keys: jax.Array,  # [N, 2]
+    ransac_threshold: jax.Array,  # [N]
+    all_depths: jax.Array,  # [N, H, W] current estimates of every problem
+    src_index: jax.Array,  # [N, V] int32 indices into all_depths (0 for ref/pad)
+    cfg: PassConfig,
+    weak_capacity: int,
+    use_geom: bool,
+) -> pipeline.PassOutputs:
+    def one(images_i, cams_i, valid_i, prior_i, key_i, rth_i, depth_maps_i):
+        return pipeline.patchmatch_pass_impl(
+            images_i, cams_i, valid_i, prior_i, key_i, cfg, rth_i,
+            depth_maps=depth_maps_i if use_geom else None,
+            weak_capacity=weak_capacity,
+        )
+
+    if use_geom:
+        # cross-shard gather of source-view depths: XLA lowers the global
+        # take over the view-sharded stack to an all-gather over ICI.
+        depth_maps = jnp.take(all_depths, src_index, axis=0)  # [N, V, H, W]
+    else:
+        depth_maps = None
+    return jax.vmap(one)(
+        images, cams, src_valid, prior, keys, ransac_threshold,
+        depth_maps if use_geom else jnp.zeros((images.shape[0],), jnp.float32),
+    )
+
+
+def gather_depth_maps(outputs: pipeline.PassOutputs) -> jax.Array:
+    """The sharded [N, H, W] depth stack for the next geom pass."""
+    return outputs.depth
+
+
+def sharded_batch_pass(
+    mesh: Mesh,
+    images: jax.Array,
+    cams: Cameras,
+    src_valid: jax.Array,
+    prior: pipeline.PassState,
+    keys: jax.Array,
+    ransac_threshold: jax.Array,
+    cfg: PassConfig,
+    weak_capacity: int = 0,
+    all_depths: Optional[jax.Array] = None,
+    src_index: Optional[jax.Array] = None,
+) -> pipeline.PassOutputs:
+    """Run one pass for a batch of N reference views, view+space sharded.
+
+    N must be a multiple of the mesh's 'view' size (pad with dummy problems
+    via :func:`shard_problems`). For geometric-consistency passes provide
+    ``all_depths`` [N, H, W] (each problem's current depth estimate) and
+    ``src_index`` [N, V] mapping each problem's view slot to the problem
+    index owning that view (slot 0 / padding -> own index; they are masked
+    out by ``src_valid`` anyway).
+    """
+    img_s, cams_s, prior_s, out_s = _batch_specs(mesh)
+    use_geom = all_depths is not None
+    N, V, H, W = images.shape
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    images = put(images, img_s)
+    cams = jax.tree.map(
+        lambda x, s: put(x, s), cams, cams_s,
+        is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+    )
+    src_valid = put(src_valid, P("view", None))
+    prior = pipeline.PassState(
+        depth=put(prior.depth, prior_s.depth),
+        normal_world=put(prior.normal_world, prior_s.normal_world),
+        pixel_state=put(prior.pixel_state, prior_s.pixel_state),
+        selected=put(prior.selected, prior_s.selected),
+    )
+    keys = put(keys, P("view", None))
+    ransac_threshold = put(ransac_threshold, P("view"))
+    if use_geom:
+        all_depths = put(all_depths, P("view", "space", None))
+        src_index = put(src_index, P("view", None))
+    else:
+        all_depths = put(jnp.zeros((N, H, W), jnp.float32), P("view", "space", None))
+        src_index = put(jnp.zeros((N, V), jnp.int32), P("view", None))
+
+    with mesh:
+        return _batched_pass(
+            images, cams, src_valid, prior, keys, ransac_threshold,
+            all_depths, src_index, cfg, weak_capacity, use_geom,
+        )

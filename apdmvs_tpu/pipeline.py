@@ -52,10 +52,7 @@ class PassOutputs(NamedTuple):
     costs: jax.Array
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "weak_capacity")
-)
-def patchmatch_pass(
+def patchmatch_pass_impl(
     images: jax.Array,  # [V, H, W] f32
     cams: Cameras,  # ref depth range pre-scaled by 0.6/1.2 (APD.cpp:454-455)
     src_valid: jax.Array,  # [V] bool
@@ -157,6 +154,14 @@ def patchmatch_pass(
         selected=st.selected,
         costs=st.costs,
     )
+
+
+#: Jitted entry used by the host orchestrator (scene.py). The raw
+#: implementation stays exposed for vmap/shard_map composition (parallel/)
+#: and for the driver's compile checks (__graft_entry__.py).
+patchmatch_pass = jax.jit(
+    patchmatch_pass_impl, static_argnames=("cfg", "weak_capacity")
+)
 
 
 def clamp_outputs(

@@ -213,10 +213,11 @@ def propagate_strong_color(
         cand_x, cand_y
     )  # [8, H, W, 4]
 
-    def cand_cost(k):
-        return ncc.cost_vector(ctx, cand_planes[k], r, inc)  # [V, H, W]
-
-    cost_array = jax.lax.map(cand_cost, jnp.arange(8))  # [8, V, H, W]
+    # all 8 candidate regions in one fused batch (plane batch dims broadcast
+    # through the NCC evaluator): [V, 8, H, W] -> [8, V, H, W]
+    cost_array = jnp.moveaxis(
+        ncc.cost_vector(ctx, cand_planes, r, inc), 0, 1
+    )
     # reference aggregate-init quirk: invalid regions contribute cost 0
     cost_array = jnp.where(flags[:, None], cost_array, 0.0)
 

@@ -76,7 +76,7 @@ def nearest_strong_map(pixel_state: jax.Array) -> jax.Array:
     x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     strong = pixel_state == PixelState.STRONG
-    big = jnp.int32(1 << 28)
+    big = jnp.int32(1 << 20)
     best_x = jnp.where(strong, x, -1)
     best_y = jnp.where(strong, y, -1)
 
@@ -85,19 +85,33 @@ def nearest_strong_map(pixel_state: jax.Array) -> jax.Array:
         dy = jnp.where(bx >= 0, by - y, big)
         return jnp.where(bx >= 0, dx * dx + dy * dy, big * big)
 
-    for step in (128, 64, 32, 16, 8, 4, 2, 1, 1):
-        cur_d = dist2(best_x, best_y)
-        for dy_ in (-step, 0, step):
-            for dx_ in (-step, 0, step):
-                if dx_ == 0 and dy_ == 0:
-                    continue
-                nbx = sampling.shift2d(best_x, dx_, dy_, -1)
-                nby = sampling.shift2d(best_y, dx_, dy_, -1)
-                nd = dist2(nbx, nby)
-                better = nd < cur_d
-                best_x = jnp.where(better, nbx, best_x)
-                best_y = jnp.where(better, nby, best_y)
-                cur_d = jnp.where(better, nd, cur_d)
+    # scan over flood step sizes (one compiled body, dynamic-shift slices);
+    # steps larger than the grid are dropped statically
+    steps = [s for s in (128, 64, 32, 16, 8, 4, 2, 1, 1) if s < max(H, W)]
+    pad = max(steps)
+
+    def flood(carry, step):
+        bx, by = carry
+        cur_d = dist2(bx, by)
+        bx_p = jnp.pad(bx, pad, constant_values=-1)
+        by_p = jnp.pad(by, pad, constant_values=-1)
+        for dy_s, dx_s in (
+            (-1, -1), (-1, 0), (-1, 1), (0, -1),
+            (0, 1), (1, -1), (1, 0), (1, 1),
+        ):
+            start = (pad + dy_s * step, pad + dx_s * step)
+            nbx = jax.lax.dynamic_slice(bx_p, start, (H, W))
+            nby = jax.lax.dynamic_slice(by_p, start, (H, W))
+            nd = dist2(nbx, nby)
+            better = nd < cur_d
+            bx = jnp.where(better, nbx, bx)
+            by = jnp.where(better, nby, by)
+            cur_d = jnp.where(better, nd, cur_d)
+        return (bx, by), None
+
+    (best_x, best_y), _ = jax.lax.scan(
+        flood, (best_x, best_y), jnp.asarray(steps, jnp.int32)
+    )
     # the reference accepts only |dx|,|dy| <= 100 (window box)
     in_box = (
         (best_x >= 0)
@@ -212,7 +226,7 @@ def generate_anchors(
 
     def scan_dir(d_idx):
         """First accepted strong point along direction d for all weak pixels."""
-        base = jnp.asarray(dirs_np[d_idx])  # [2]
+        base = jnp.asarray(dirs_np)[d_idx]  # [2]
 
         def probe_step(carry, inputs):
             found, pt_x, pt_y = carry
@@ -377,63 +391,62 @@ def deformed_cost_vector(
     selected_grid: jax.Array,
     cfg: PassConfig,
 ) -> jax.Array:
-    """Deformed (APD) NCC per view: [V, N]
+    """Deformed (APD) NCC per view: [V, ..., N]
     (ComputeBilateralNCCNew: APD.cu:400-528).
 
     cost = 0.25 * center_patch + 0.75 * mean(anchor patches), with anchors
     warped by the *center pixel's* candidate homography. Anchors warping
     out of the image contribute COST_MAX if that view is selected at the
     anchor pixel, and are excluded otherwise.
+
+    ``plane`` may carry leading batch dims ([..., N, 4], e.g. [8, N, 4] for
+    8 candidate planes per weak pixel): all (batch, anchor) patch NCCs are
+    evaluated in one fused batched gather per view — the TPU-native layout
+    of the reference's per-thread anchor loop (APD.cu:452-513).
     """
     wx = weak_xy[..., 0].astype(jnp.float32)
     wy = weak_xy[..., 1].astype(jnp.float32)
     H, W = ctx.height, ctx.width
 
+    a = anchors.coords[:, 1:]  # [N, 8, 2]
+    axf = a[..., 0].astype(jnp.float32)
+    ayf = a[..., 1].astype(jnp.float32)
+    valid = a[..., 0] >= 0  # [N, 8]
+    plane_b = plane[..., None, :]  # [..., N, 1, 4]
+    adirs = geometry.pixel_dirs(ctx.cams.K[0], axf, ayf)  # [N, 8, 3]
+
     def per_view(v):
         center = ncc.ncc_cost_view(
             ctx, v, plane, cfg.strong_radius, cfg.strong_increment, xs=wx, ys=wy
-        )  # [N]
-
-        def anchor_cost(k):
-            a = anchors.coords[:, k]  # [N, 2]
-            axf = a[..., 0].astype(jnp.float32)
-            ayf = a[..., 1].astype(jnp.float32)
-            valid = a[..., 0] >= 0
-            # warp of the anchor point itself (bounds check, APD.cu:438-450)
-            adirs = geometry.pixel_dirs(ctx.cams.K[0], axf, ayf)
-            n = plane[..., :3]
-            w = plane[..., 3]
-            ndir = jnp.sum(n * adirs, axis=-1)
-            Hp = geometry.mat3_vec(ctx.wc.M[v], adirs) - ctx.wc.b[v] * (
-                ndir / w
-            )[..., None]
-            qx = Hp[..., 0] / Hp[..., 2]
-            qy = Hp[..., 1] / Hp[..., 2]
-            oob = (qx < 0) | (qy < 0) | (qx >= W) | (qy >= H)
-            cost = ncc.ncc_cost_view(
-                ctx, v, plane, cfg.weak_radius, cfg.weak_increment, xs=axf, ys=ayf
-            )
-            sel_at_anchor = sampling.gather_grid(
-                selected_grid[v], a[..., 0], a[..., 1]
-            )
-            include = valid & (~oob | sel_at_anchor)
-            value = jnp.where(oob, COST_MAX, cost)
-            return jnp.where(include, value, 0.0), include
-
-        costs, includes = jax.lax.map(
-            anchor_cost, jnp.arange(1, NEIGHBOUR_NUM)
-        )  # [8, N]
-        cnt = jnp.sum(includes, axis=0).astype(jnp.float32)
+        )  # [..., N]
+        # warp of the anchor points themselves (bounds check, APD.cu:438-450)
+        n = plane_b[..., :3]
+        w = plane_b[..., 3]
+        ndir = jnp.sum(n * adirs, axis=-1)  # [..., N, 8]
+        Hp = geometry.mat3_vec(ctx.wc.M[v], adirs) - ctx.wc.b[v] * (
+            ndir / w
+        )[..., None]
+        qx = Hp[..., 0] / Hp[..., 2]
+        qy = Hp[..., 1] / Hp[..., 2]
+        oob = (qx < 0) | (qy < 0) | (qx >= W) | (qy >= H)  # [..., N, 8]
+        cost = ncc.ncc_cost_view(
+            ctx, v, plane_b, cfg.weak_radius, cfg.weak_increment, xs=axf, ys=ayf
+        )  # [..., N, 8]
+        sel_at_anchor = sampling.gather_grid(
+            selected_grid[v], a[..., 0], a[..., 1]
+        )  # [N, 8]
+        include = valid & (~oob | sel_at_anchor)
+        value = jnp.where(oob, COST_MAX, cost)
+        costs_a = jnp.where(include, value, 0.0)
+        cnt = jnp.sum(include, axis=-1).astype(jnp.float32)  # [..., N]
         strong_cost = jnp.minimum(
-            jnp.sum(costs, axis=0) / jnp.maximum(cnt, 1.0), COST_MAX
+            jnp.sum(costs_a, axis=-1) / jnp.maximum(cnt, 1.0), COST_MAX
         )
-        total = jnp.where(
-            cnt > 0, 0.25 * center + 0.75 * strong_cost, center
-        )
-        return total
+        return jnp.where(cnt > 0, 0.25 * center + 0.75 * strong_cost, center)
 
-    costs = jax.lax.map(per_view, jnp.arange(ctx.num_views))  # [V, N]
-    return jnp.where(ctx.src_valid[:, None], costs, COST_MAX)
+    costs = jax.lax.map(per_view, jnp.arange(ctx.num_views))  # [V, ..., N]
+    shape = (ctx.num_views,) + (1,) * (costs.ndim - 1)
+    return jnp.where(ctx.src_valid.reshape(shape), costs, COST_MAX)
 
 
 def ransac_fit_planes(
@@ -541,13 +554,12 @@ def propagate_weak(
     flag = (acoords[..., 0] >= 0) & (a_state == PixelState.STRONG)  # [N, 8]
     cand_planes = sampling.gather_grid(planes_grid, acoords[..., 0], acoords[..., 1])
 
-    def cand_cost(k):
-        cv = deformed_cost_vector(
-            ctx, weak_xy, cand_planes[:, k], anchors, selected_grid, cfg
-        )  # [V, N]
-        return cv
-
-    cost_array = jax.lax.map(cand_cost, jnp.arange(_NUM_ANCHORS))  # [8, V, N]
+    # all 8 candidates in one fused batch: [8, N, 4] -> [V, 8, N] -> [8, V, N]
+    cand_planes_b = jnp.moveaxis(cand_planes, 1, 0)
+    cost_array = jnp.moveaxis(
+        deformed_cost_vector(ctx, weak_xy, cand_planes_b, anchors, selected_grid, cfg),
+        0, 1,
+    )  # [8, V, N]
     # aggregate-init quirk: invalid candidates contribute 0 (see propagation)
     cost_array = jnp.where(flag.T[:, None, :], cost_array, 0.0)
 
@@ -567,11 +579,9 @@ def propagate_weak(
 
     # --- geometric consistency terms (APD.cu:1441-1447) ---
     if cfg.geom_consistency:
-        def cand_geom(k):
-            g = ncc.geom_cost_vector(ctx, cand_planes[:, k], xs=wx, ys=wy)
-            return g
-
-        geom_arr = jax.lax.map(cand_geom, jnp.arange(_NUM_ANCHORS))  # [8, V, N]
+        geom_arr = jnp.moveaxis(
+            ncc.geom_cost_vector(ctx, cand_planes_b, xs=wx, ys=wy), 0, 1
+        )  # [8, V, N]
         geom_arr = jnp.where(
             flag.T[:, None, :], geom_arr, GEOM_COST_MAX
         )  # missing candidate -> penalty 3.0
