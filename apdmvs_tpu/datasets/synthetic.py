@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -32,6 +32,11 @@ class PlanePrim:
     seed: int = 0
     texture_scale: float = 1.0
     flat: bool = False  # if True: constant intensity (weak texture)
+    # textureless window in plane (u, v) coordinates: (u0, v0, u1, v1).
+    # Because texture lives in plane space, the flat window is
+    # photometrically consistent across views — a true weak-texture region
+    # for exercising the APD anchor machinery.
+    flat_box: Optional[Tuple[float, float, float, float]] = None
 
 
 def _orthobasis(n: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -42,7 +47,7 @@ def _orthobasis(n: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return u, v
 
 
-def make_plane(p0, n, seed=0, texture_scale=1.0, flat=False) -> PlanePrim:
+def make_plane(p0, n, seed=0, texture_scale=1.0, flat=False, flat_box=None) -> PlanePrim:
     n = np.asarray(n, np.float64)
     n = n / np.linalg.norm(n)
     u, v = _orthobasis(n)
@@ -54,6 +59,7 @@ def make_plane(p0, n, seed=0, texture_scale=1.0, flat=False) -> PlanePrim:
         seed=seed,
         texture_scale=texture_scale,
         flat=flat,
+        flat_box=flat_box,
     )
 
 
@@ -70,7 +76,12 @@ def _texture(plane: PlanePrim, uu: np.ndarray, vv: np.ndarray) -> np.ndarray:
         amp = rng.uniform(0.3, 1.0)
         val = val + amp * np.sin(2 * np.pi * (fx * uu + fy * vv) + ph)
     val = val / np.max(np.abs(val))
-    return (val * 0.5 + 0.5) * 220.0 + 20.0
+    tex = (val * 0.5 + 0.5) * 220.0 + 20.0
+    if plane.flat_box is not None:
+        u0, v0, u1, v1 = plane.flat_box
+        inside = (uu >= u0) & (uu <= u1) & (vv >= v0) & (vv <= v1)
+        tex = np.where(inside, 128.0, tex)
+    return tex
 
 
 @dataclasses.dataclass
@@ -146,18 +157,19 @@ def make_ring_scene(
     include_flat_region: bool = False,
     seed: int = 0,
 ) -> Tuple[List[SynthCamera], List[PlanePrim]]:
-    """Cameras on a small arc looking at a two-plane 'corner' scene ~4m away."""
+    """Cameras on a small arc looking at a two-plane 'corner' scene ~4m away.
+
+    include_flat_region=True punches a textureless window into the first
+    plane's texture (in plane coordinates, so it is photometrically
+    consistent across views) — a true weak-texture region for the APD path.
+    """
     planes = [
-        make_plane([0.0, 0.0, 4.0], [0.3, 0.1, -1.0], seed=seed + 1, texture_scale=2.0),
+        make_plane(
+            [0.0, 0.0, 4.0], [0.3, 0.1, -1.0], seed=seed + 1, texture_scale=2.0,
+            flat_box=(-0.55, -0.45, 0.35, 0.45) if include_flat_region else None,
+        ),
         make_plane([1.5, 0.0, 5.0], [-0.8, 0.0, -1.0], seed=seed + 2, texture_scale=2.0),
     ]
-    if include_flat_region:
-        # A fronto-parallel textureless slab occupying image center.
-        planes.append(make_plane([0.0, 0.0, 3.2], [0.0, 0.0, -1.0], flat=True))
-        # Shrink: emulate finite extent by giving it texture only... planes are
-        # infinite; instead we make the flat plane closest so it wins in the
-        # middle by placing it nearer and tilting others; tests that need a
-        # bounded weak region build custom scenes.
     cams = []
     for i in range(num_views):
         angle = (i - (num_views - 1) / 2.0) * 0.06
