@@ -73,6 +73,7 @@ def fuse_eth(
     src_ids: Sequence[Sequence[int]],
     weak_factor: float = 0.45,
     strong_factor: float = 0.3,
+    backend: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """ETH fusion (RunFusion: APD.cpp:826-977).
 
@@ -84,7 +85,21 @@ def fuse_eth(
     depth diff < 1%, normal angle < 10 deg) and
     sum(exp(-(err + 200*ddiff + 10*angle))) > factor * num_consistent,
     factor 0.45 for WEAK pixels else 0.3 (APD.cpp:941-951).
+
+    backend: 'native' = C++ core with the reference's exact sequential
+    greedy mask semantics (apdmvs_tpu/native); 'numpy' = vectorized
+    approximation below; 'auto' = native when buildable.
     """
+    if backend in ("auto", "native") and all(
+        v.depth.shape == views[0].depth.shape for v in views
+    ):
+        from apdmvs_tpu import native
+
+        r = native.fuse_eth(views, src_ids, weak_factor, strong_factor)
+        if r is not None:
+            return r
+        if backend == "native":
+            raise RuntimeError("native fusion library unavailable")
     from apdmvs_tpu.params import PixelState
 
     masks = [np.zeros(v.depth.shape, bool) for v in views]
@@ -185,6 +200,7 @@ def fuse_tat(
     views: Sequence[FusionView],
     src_ids: Sequence[Sequence[int]],
     advanced: bool = False,
+    backend: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Tanks&Temples fusion variants with escalating per-k thresholds
     (RunFusion_TAT_Intermediate: APD.cpp:979-1147; RunFusion_TAT_advanced:
@@ -194,6 +210,16 @@ def fuse_tat(
     accept at the smallest k in [2, num_src] with count >= k.
     advanced: dist < k*0.25, ddiff < k/3000, no angle check.
     """
+    if backend in ("auto", "native") and all(
+        v.depth.shape == views[0].depth.shape for v in views
+    ):
+        from apdmvs_tpu import native
+
+        r = native.fuse_tat(views, src_ids, advanced=advanced)
+        if r is not None:
+            return r
+        if backend == "native":
+            raise RuntimeError("native fusion library unavailable")
     dist_base = 0.25
     depth_base = 1.0 / (3000.0 if advanced else 3500.0)
     angle_base = 0.06981317007977318  # 4 deg
