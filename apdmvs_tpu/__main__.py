@@ -32,6 +32,20 @@ def main() -> None:
     )
     ap.add_argument("--max-rounds", type=int, default=None, help="cap pyramid rounds")
     ap.add_argument(
+        "--batched",
+        action="store_true",
+        help="run all views of each pass as one jitted batched program, "
+        "view-sharded over the device mesh (the TPU production path)",
+    )
+    ap.add_argument(
+        "--view-shards", type=int, default=None,
+        help="device-mesh view-axis size for --batched (default: all devices)",
+    )
+    ap.add_argument(
+        "--space-shards", type=int, default=1,
+        help="device-mesh spatial-axis size for --batched",
+    )
+    ap.add_argument(
         "--platform",
         default=None,
         choices=["cpu", "tpu", "axon"],
@@ -45,17 +59,33 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.batched:
+            # provision enough virtual CPU devices for the requested mesh
+            need = (args.view_shards or 1) * args.space_shards
+            if need > 1:
+                jax.config.update("jax_num_cpu_devices", need)
 
     from apdmvs_tpu import scene
 
-    scene.run_scene(
-        args.dense_folder,
-        seed=args.seed,
-        fusion_variant=args.fusion,
-        show_medium_result=args.show_medium_result,
-        keep_intermediates=not args.delete_intermediates,
-        max_rounds=args.max_rounds,
-    )
+    if args.batched:
+        scene.run_scene_batched(
+            args.dense_folder,
+            seed=args.seed,
+            fusion_variant=args.fusion,
+            keep_intermediates=not args.delete_intermediates,
+            max_rounds=args.max_rounds,
+            n_view_shards=args.view_shards,
+            n_space_shards=args.space_shards,
+        )
+    else:
+        scene.run_scene(
+            args.dense_folder,
+            seed=args.seed,
+            fusion_variant=args.fusion,
+            show_medium_result=args.show_medium_result,
+            keep_intermediates=not args.delete_intermediates,
+            max_rounds=args.max_rounds,
+        )
 
 
 if __name__ == "__main__":

@@ -338,6 +338,226 @@ def process_problem(
     return time.time() - t0
 
 
+def run_scene_batched(
+    dense_folder: str | os.PathLike,
+    seed: int = 0,
+    fusion_variant: str = "eth",
+    keep_intermediates: bool = True,
+    max_rounds: Optional[int] = None,
+    n_view_shards: Optional[int] = None,
+    n_space_shards: int = 1,
+    verbose: bool = True,
+) -> str:
+    """Batched/sharded reconstruction: all reference views of a pass run as
+    ONE jitted program over a (view, space) device mesh.
+
+    This is the TPU-native production path (SURVEY.md §2.8): the reference
+    processes views sequentially and exchanges state through the filesystem;
+    here the problem batch is view-sharded across devices, per-pass depth
+    maps stay device-resident, and geometric-consistency passes gather
+    source-view depths through XLA collectives. Files are still persisted
+    per pass (the checkpoint/resume contract).
+    """
+    import jax.numpy as jnp
+
+    from apdmvs_tpu import parallel
+
+    dense_folder = str(dense_folder)
+    problems = generate_sample_list(dense_folder)
+    if verbose:
+        print(f"There are {len(problems)} problems needed to be processed!")
+    full_size = check_images(dense_folder, problems)
+    round_num = compute_round_num(*full_size)
+    if max_rounds is not None:
+        round_num = min(round_num, max_rounds)
+    schedule = build_schedule(round_num)
+    cache = SceneCache(dense_folder)
+    Np = len(problems)
+    V = max(1 + len(p.src_image_ids) for p in problems)
+    id_to_pos = {p.ref_image_id: i for i, p in enumerate(problems)}
+
+    n_devices = len(jax.devices())
+    if n_view_shards is None:
+        n_view_shards = max(1, n_devices // n_space_shards)
+        # no point sharding views beyond the problem count
+        n_view_shards = min(n_view_shards, Np)
+    mesh = parallel.make_mesh(n_view=n_view_shards, n_space=n_space_shards)
+    N = ((Np + n_view_shards - 1) // n_view_shards) * n_view_shards  # padded
+
+    root_key = jax.random.PRNGKey(seed)
+    state: Optional[pipeline.PassState] = None  # batched [N, ...]
+
+    for spec in schedule:
+        t0 = time.time()
+        full_w, full_h = full_size
+        W, H = scaled_size(full_w, full_h, spec.scale_size)
+
+        # ---- batched inputs ----
+        imgs = np.zeros((N, V, H, W), np.float32)
+        Ks = np.zeros((N, V, 3, 3), np.float32)
+        Rs = np.zeros((N, V, 3, 3), np.float32)
+        ts_ = np.zeros((N, V, 3), np.float32)
+        src_valid = np.zeros((N, V), bool)
+        dmins = np.ones((N, V), np.float32)
+        dmaxs = np.full((N, V), 2.0, np.float32)
+        src_index = np.zeros((N, V), np.int32)
+        scale_x = W / float(full_w)
+        scale_y = H / float(full_h)
+        for n, p in enumerate(problems):
+            view_ids = [p.ref_image_id] + list(p.src_image_ids)
+            for v, vid in enumerate(view_ids):
+                imgs[n, v] = cache.gray_scaled(vid, W, H)
+                cam = cache.camera(vid)
+                Ks[n, v] = cam["K"]
+                Rs[n, v] = cam["R"]
+                ts_[n, v] = cam["t"]
+                src_index[n, v] = id_to_pos.get(vid, n)
+            for v in range(len(view_ids), V):  # pad with ref camera
+                Ks[n, v] = Ks[n, 0]
+                Rs[n, v] = Rs[n, 0]
+                ts_[n, v] = ts_[n, 0]
+                src_index[n, v] = n
+            src_valid[n, 1 : len(view_ids)] = True
+            ref_cam = cache.camera(p.ref_image_id)
+            dmins[n, :] = float(ref_cam["depth_min"]) * 0.6
+            dmaxs[n, :] = float(ref_cam["depth_max"]) * 1.2
+        for n in range(Np, N):  # padded problems: copy problem 0, no sources
+            imgs[n] = imgs[0]
+            Ks[n], Rs[n], ts_[n] = Ks[0], Rs[0], ts_[0]
+            dmins[n], dmaxs[n] = dmins[0], dmaxs[0]
+            src_index[n] = n
+
+        Ks = np.asarray(
+            geometry.scale_intrinsics(jnp.asarray(Ks), scale_x, scale_y)
+        )
+        cams_b = jax.vmap(geometry.make_cameras)(
+            jnp.asarray(Ks), jnp.asarray(Rs), jnp.asarray(ts_),
+            jnp.asarray(dmins), jnp.asarray(dmaxs),
+        )
+
+        # ---- prior state (resampled between pyramid levels) ----
+        eff = spec
+        if state is None:
+            if eff.state != RunState.FIRST_INIT:
+                eff = dataclasses.replace(
+                    eff, state=RunState.FIRST_INIT, use_APD=False,
+                    geom_consistency=False,
+                )
+            prior = pipeline.PassState(
+                depth=jnp.zeros((N, H, W), jnp.float32),
+                normal_world=jnp.zeros((N, H, W, 3), jnp.float32),
+                pixel_state=jnp.full((N, H, W), PixelState.STRONG, jnp.uint8),
+                selected=jnp.zeros((N, V, H, W), bool),
+            )
+        else:
+            prev_hw = state.depth.shape[1:]
+            if prev_hw != (H, W):
+                depth = np.stack(
+                    [imio.resize_nearest(np.asarray(d), W, H) for d in state.depth]
+                )
+                normal = np.stack(
+                    [imio.resize_nearest(np.asarray(x), W, H) for x in state.normal_world]
+                )
+                ps = np.stack(
+                    [imio.resize_nearest(np.asarray(x), W, H) for x in state.pixel_state]
+                )
+                sel = np.stack(
+                    [
+                        np.stack(
+                            [imio.resize_nearest(np.asarray(s), W, H) for s in problem_sel]
+                        )
+                        for problem_sel in np.asarray(state.selected)
+                    ]
+                )
+                prior = pipeline.PassState(
+                    depth=jnp.asarray(depth),
+                    normal_world=jnp.asarray(normal),
+                    pixel_state=jnp.asarray(ps),
+                    selected=jnp.asarray(sel),
+                )
+            else:
+                prior = state
+
+        # ---- uniform weak capacity across the batch ----
+        weak_capacity = 0
+        if eff.use_APD:
+            counts = np.asarray(
+                jnp.sum(prior.pixel_state == PixelState.WEAK, axis=(1, 2))
+            )
+            cmax = int(counts.max())
+            weak_capacity = _bucket_capacity(cmax, H * W)
+            if weak_capacity == 0:
+                eff = dataclasses.replace(eff, use_APD=False)
+
+        all_depths = prior.depth if eff.geom_consistency else None
+        if eff.geom_consistency and not np.asarray(jnp.any(all_depths > 0)):
+            eff = dataclasses.replace(eff, geom_consistency=False)
+            all_depths = None
+
+        keys = jax.vmap(
+            lambda n: jax.random.fold_in(
+                jax.random.fold_in(root_key, spec.pass_index), n
+            )
+        )(jnp.arange(N))
+        rth = jnp.full((N,), eff.ransac_threshold, jnp.float32)
+
+        cfg = PassConfig.from_spec(eff)
+        out = parallel.sharded_batch_pass(
+            mesh, jnp.asarray(imgs), cams_b, jnp.asarray(src_valid), prior,
+            keys, rth, cfg, weak_capacity=weak_capacity,
+            all_depths=all_depths,
+            src_index=jnp.asarray(src_index) if all_depths is not None else None,
+        )
+        out = jax.block_until_ready(out)
+        # clamp out-of-range depths per problem (main.cpp:105-115)
+        bad = (out.depth < jnp.asarray(dmins[:, :1])[..., None]) | (
+            out.depth > jnp.asarray(dmaxs[:, :1])[..., None]
+        )
+        state = pipeline.PassState(
+            depth=jnp.where(bad, 0.0, out.depth),
+            normal_world=out.normal_world,
+            pixel_state=jnp.where(
+                bad, jnp.uint8(PixelState.UNKNOWN), out.pixel_state
+            ),
+            selected=out.selected,
+        )
+
+        # ---- persist the checkpoint contract per pass ----
+        depth_h = np.asarray(state.depth)
+        normal_h = np.asarray(state.normal_world)
+        ps_h = np.asarray(state.pixel_state)
+        sel_h = np.asarray(state.selected)
+        for n, p in enumerate(problems):
+            formats.write_bin_mat(
+                os.path.join(p.result_folder, "depths.dmb"), depth_h[n]
+            )
+            formats.write_bin_mat(
+                os.path.join(p.result_folder, "normals.dmb"), normal_h[n]
+            )
+            formats.write_bin_mat(
+                os.path.join(p.result_folder, "weak.bin"), ps_h[n]
+            )
+            formats.write_bin_mat(
+                os.path.join(p.result_folder, "selected_views.bin"),
+                pipeline.selected_to_bitmask(sel_h[n]),
+            )
+        if verbose:
+            print(
+                f"round {spec.round_index} pass {spec.pass_index} "
+                f"({eff.state.name}, scale 1/{spec.scale_size}, "
+                f"{Np} views batched over {n_view_shards}x{n_space_shards} mesh): "
+                f"{(time.time()-t0)*1000:.0f} ms"
+            )
+
+    ply = run_fusion(dense_folder, problems, variant=fusion_variant)
+    if verbose:
+        print(f"Fused point cloud: {ply}")
+    if not keep_intermediates:
+        for p in problems:
+            shutil.rmtree(p.result_folder, ignore_errors=True)
+    return ply
+
+
 def run_fusion(
     dense_folder: str | os.PathLike,
     problems: Sequence[Problem],
