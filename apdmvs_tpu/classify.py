@@ -46,6 +46,50 @@ def _weighted_sweep_cost(
     return jnp.sum(wsel * cv, axis=0) / jnp.maximum(weight_norm, 1e-30)
 
 
+_SWEEP_CHUNK = 8
+
+
+def _weighted_sweep_costs_batched(
+    ctx: CostContext,
+    n_cam: jax.Array,  # [H, W, 3]
+    depths: jax.Array,  # [S, H, W]
+    selected: jax.Array,
+    view_weights: jax.Array,
+    weight_norm: jax.Array,
+    cfg: PassConfig,
+) -> jax.Array:
+    """All S sweep depths as chunked multi-candidate evaluations — feeds
+    the Pallas kernel C=8 plane batches instead of S sequential C=1 calls.
+    Returns [S, H, W]."""
+    S = depths.shape[0]
+    S_pad = ((S + _SWEEP_CHUNK - 1) // _SWEEP_CHUNK) * _SWEEP_CHUNK
+    if S_pad != S:
+        depths = jnp.concatenate(
+            [depths, jnp.broadcast_to(depths[-1:], (S_pad - S,) + depths.shape[1:])]
+        )
+    w = geometry.dist_to_origin(
+        ctx.cams.K[0], ctx.x, ctx.y, depths, n_cam[None]
+    )  # [S_pad, H, W]
+    planes = jnp.concatenate(
+        [jnp.broadcast_to(n_cam[None], depths.shape + (3,)), w[..., None]], axis=-1
+    )
+    planes_chunks = planes.reshape(
+        S_pad // _SWEEP_CHUNK, _SWEEP_CHUNK, *planes.shape[1:]
+    )
+    wsel = jnp.where(selected, view_weights, 0.0)
+
+    def chunk_cost(pl_chunk):
+        cv = ncc.cost_vector(ctx, pl_chunk, cfg.strong_radius, cfg.strong_increment)
+        if cfg.geom_consistency:
+            cv = cv + cfg.geom_factor * ncc.geom_cost_vector(ctx, pl_chunk)
+        return jnp.sum(wsel[:, None] * cv, axis=0) / jnp.maximum(
+            weight_norm[None], 1e-30
+        )  # [chunk, H, W]
+
+    costs = jax.lax.map(chunk_cost, planes_chunks)
+    return costs.reshape(S_pad, *depths.shape[1:])[:S]
+
+
 def _mean_baseline(ctx: CostContext, selected: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Mean camera-center distance over each pixel's selected views and the
     selected count (APD.cu:2037-2052)."""
@@ -85,15 +129,14 @@ def depth_to_weak(
 
     steps = jnp.arange(-_SWEEP_RADIUS, _SWEEP_RADIUS + 1, dtype=jnp.float32)
 
-    def sweep(p_disp):
-        p_depth = K0[0, 0] * baseline / (disp + p_disp)
-        in_range = (p_depth >= ctx.cams.depth_min[0]) & (p_depth <= ctx.cams.depth_max[0])
-        cost = _weighted_sweep_cost(
-            ctx, n_cam, p_depth, selected, view_weights, weight_norm, cfg
-        )
-        return jnp.where(in_range, jnp.minimum(COST_MAX, cost), COST_MAX)
-
-    p_costs = jax.lax.map(sweep, steps)  # [61, H, W]
+    p_depths = K0[0, 0] * baseline[None] / (disp[None] + steps[:, None, None])
+    in_range = (p_depths >= ctx.cams.depth_min[0]) & (
+        p_depths <= ctx.cams.depth_max[0]
+    )
+    raw = _weighted_sweep_costs_batched(
+        ctx, n_cam, p_depths, selected, view_weights, weight_norm, cfg
+    )
+    p_costs = jnp.where(in_range, jnp.minimum(COST_MAX, raw), COST_MAX)  # [61, H, W]
 
     # --- peak analysis (APD.cu:2092-2142) ---
     S = 2 * _SWEEP_RADIUS + 1
@@ -155,23 +198,18 @@ def local_refine(
     )
     disp = K0[0, 0] * baseline / jnp.where(origin_depth == 0, 1.0, origin_depth)
 
-    def sweep(carry, p_disp):
-        best_cost, best_depth = carry
-        p_depth = K0[0, 0] * baseline / (disp + p_disp)
-        in_range = (p_depth >= ctx.cams.depth_min[0]) & (p_depth <= ctx.cams.depth_max[0])
-        cost = _weighted_sweep_cost(
-            ctx, n_cam, p_depth, selected, view_weights, weight_norm, cfg
-        )
-        better = in_range & (cost < best_cost)
-        return (
-            jnp.where(better, cost, best_cost),
-            jnp.where(better, p_depth, best_depth),
-        ), None
-
     steps = jnp.arange(-5, 6, dtype=jnp.float32)
-    (min_cost, best_depth), _ = jax.lax.scan(
-        sweep, (jnp.full_like(cost_now, COST_MAX), origin_depth), steps
+    p_depths = K0[0, 0] * baseline[None] / (disp[None] + steps[:, None, None])
+    in_range = (p_depths >= ctx.cams.depth_min[0]) & (
+        p_depths <= ctx.cams.depth_max[0]
     )
+    raw = _weighted_sweep_costs_batched(
+        ctx, n_cam, p_depths, selected, view_weights, weight_norm, cfg
+    )
+    costs = jnp.where(in_range, raw, COST_MAX)  # [11, H, W]
+    best = jnp.argmin(costs, axis=0)
+    min_cost = jnp.take_along_axis(costs, best[None], axis=0)[0]
+    best_depth = jnp.take_along_axis(p_depths, best[None], axis=0)[0]
     accept = (
         (cost_now - min_cost > 0.1)
         & (origin_depth != 0)

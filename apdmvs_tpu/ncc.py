@@ -36,6 +36,30 @@ GEOM_COST_MAX = 3.0
 MIN_VAR = 1e-5
 
 
+class VolumeSet(NamedTuple):
+    """Per-source-view plane-sweep volumes for the Pallas fast path
+    (ops/__init__ rationale; PERF_NOTES.md measurements).
+
+    E: [V, K, Hp+2*PAD_Y, Wp+2*PAD_X] bf16 — entry 0 (the ref view) is
+      zeros/unused; (Hp, Wp) = image dims padded up to (8, 128) multiples.
+    consts: [V, 1, 20] f32 — ncc_volume.pack_consts per view.
+    ref_pad: [Hp+2*PAD_Y, Wp+2*PAD_X] f32 — padded reference image.
+    D / geom_consts: optional source-depth volumes (trunc-sampled,
+      [V, K, Hp, Wp]) + reprojection constants for geometric-consistency
+      passes.
+    """
+
+    E: jax.Array
+    consts: jax.Array
+    ref_pad: jax.Array
+    D: Optional[jax.Array] = None
+    geom_consts: Optional[jax.Array] = None
+
+    @property
+    def num_slices(self) -> int:
+        return self.E.shape[1]
+
+
 class CostContext(NamedTuple):
     """Per-pass immutable inputs to all cost evaluations.
 
@@ -45,6 +69,9 @@ class CostContext(NamedTuple):
       the reference's 2.0-initialized cost vectors (APD.cu:626-627).
     depth_maps: [V, H, W] source-view depths for geometric-consistency
       passes (entry 0 = this view's own previous depth, unused) or None.
+    volumes: optional VolumeSet enabling the Pallas NCC fast path for
+      full-grid evaluations (point-mode/worklist evaluation keeps the
+      XLA path).
     """
 
     images: jax.Array
@@ -55,6 +82,7 @@ class CostContext(NamedTuple):
     y: jax.Array  # [H, W]
     src_valid: jax.Array  # [V] bool
     depth_maps: Optional[jax.Array]
+    volumes: Optional[VolumeSet] = None
 
     @property
     def height(self) -> int:
@@ -74,6 +102,7 @@ def make_context(
     cams: Cameras,
     src_valid: jax.Array,
     depth_maps: Optional[jax.Array] = None,
+    volumes: Optional[VolumeSet] = None,
 ) -> CostContext:
     V, H, W = images.shape
     x, y = geometry.pixel_grid(H, W)
@@ -88,7 +117,145 @@ def make_context(
         y=y,
         src_valid=jnp.asarray(src_valid, bool),
         depth_maps=None if depth_maps is None else jnp.asarray(depth_maps, jnp.float32),
+        volumes=volumes,
     )
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def build_volume_set(
+    images: jax.Array,  # [V, H, W] f32
+    cams: Cameras,
+    depth_min,
+    depth_max,
+    num_slices: int = 160,
+    depth_maps: Optional[jax.Array] = None,  # [V, H, W] for geom passes
+) -> VolumeSet:
+    """Build the per-source-view plane-sweep volumes (Pallas builder).
+
+    The image volumes depend only on (images, cameras, depth grid) — NOT
+    on hypotheses or iteration — so callers build once per (problem,
+    scale) and reuse the set across all passes and sweeps. Depth volumes
+    (geom passes) depend on the src views' current estimates and are
+    rebuilt per pass.
+    """
+    from apdmvs_tpu.ops import ncc_volume, volume as vol
+
+    V, H, W = images.shape
+    Hp = _ceil_to(H, 8)
+    Wp = _ceil_to(W, 128)
+    wc = geometry.warp_constants(cams)
+    u_min, du = vol.inv_depth_grid(depth_min, depth_max, num_slices)
+    K_ref = cams.K[0]
+    R_ref = cams.R[0]
+    Es = []
+    consts = []
+    Ds = [] if depth_maps is not None else None
+    gconsts = [] if depth_maps is not None else None
+    for v in range(V):
+        if v == 0:
+            Es.append(
+                jnp.zeros(
+                    (num_slices, Hp + 2 * ncc_volume.PAD_Y, Wp + 2 * ncc_volume.PAD_X),
+                    jnp.bfloat16,
+                )
+            )
+            consts.append(jnp.zeros((1, 20), jnp.float32))
+            if Ds is not None:
+                Ds.append(jnp.zeros((num_slices, Hp, Wp), jnp.float32))
+                gconsts.append(jnp.zeros((1, ncc_volume._NGEOM), jnp.float32))
+            continue
+        Es.append(
+            vol.build_volume_pallas(
+                images[v], wc.M[v], wc.b[v], cams.K[0], Hp, Wp, u_min, du,
+                num_slices, pad_y=ncc_volume.PAD_Y, pad_x=ncc_volume.PAD_X,
+                dtype=jnp.bfloat16,
+            )
+        )
+        consts.append(ncc_volume.pack_consts(cams.K[0], wc.M[v], wc.b[v], u_min, du, W, H))
+        if Ds is not None:
+            Ds.append(
+                vol.build_volume_pallas(
+                    depth_maps[v], wc.M[v], wc.b[v], cams.K[0], Hp, Wp,
+                    u_min, du, num_slices, pad_y=0, pad_x=0,
+                    dtype=jnp.float32, trunc=True,
+                )
+            )
+            # A = K_r R_r R_s^T K_s^{-1}; t' = K_r R_r (c_s - c_r)
+            A = geometry.mat3_mat3(
+                geometry.mat3_mat3(
+                    geometry.mat3_mat3(K_ref, R_ref), jnp.swapaxes(cams.R[v], -1, -2)
+                ),
+                geometry.k_inverse_zero_skew(cams.K[v]),
+            )
+            t2 = geometry.mat3_vec(
+                geometry.mat3_mat3(K_ref, R_ref), cams.c[v] - cams.c[0]
+            )
+            gconsts.append(
+                ncc_volume.pack_geom_consts(
+                    cams.K[0], wc.M[v], wc.b[v], A, t2, u_min, du, W, H
+                )
+            )
+    ref_pad = jnp.pad(
+        jnp.asarray(images[0], jnp.float32),
+        (
+            (ncc_volume.PAD_Y, ncc_volume.PAD_Y + Hp - H),
+            (ncc_volume.PAD_X, ncc_volume.PAD_X + Wp - W),
+        ),
+        mode="edge",
+    )
+    return VolumeSet(
+        E=jnp.stack(Es),
+        consts=jnp.stack(consts),
+        ref_pad=ref_pad,
+        D=None if Ds is None else jnp.stack(Ds),
+        geom_consts=None if gconsts is None else jnp.stack(gconsts),
+    )
+
+
+def _cost_vector_volume(
+    ctx: CostContext, plane: jax.Array, radius: int, increment: int
+) -> jax.Array:
+    """Grid-mode cost vector through the fused Pallas kernel.
+
+    plane: [H, W, 4] or [C, H, W, 4] -> [V, H, W] / [V, C, H, W].
+    """
+    from apdmvs_tpu.ops import ncc_volume
+
+    vs = ctx.volumes
+    H, W = ctx.height, ctx.width
+    Hp = vs.ref_pad.shape[0] - 2 * ncc_volume.PAD_Y
+    Wp = vs.ref_pad.shape[1] - 2 * ncc_volume.PAD_X
+    squeeze = plane.ndim == 3
+    if squeeze:
+        plane = plane[None]
+    C = plane.shape[0]
+    planes_cf = jnp.moveaxis(plane, -1, 1)  # [C, 4, H, W]
+    if (Hp, Wp) != (H, W):
+        # pad with a benign fronto-parallel plane (results sliced off)
+        pad_plane = jnp.zeros((C, 4, Hp - H, W), planes_cf.dtype).at[:, 2].set(-1.0).at[:, 3].set(1.0)
+        planes_cf = jnp.concatenate([planes_cf, pad_plane], axis=2)
+        pad_plane2 = jnp.zeros((C, 4, Hp, Wp - W), planes_cf.dtype).at[:, 2].set(-1.0).at[:, 3].set(1.0)
+        planes_cf = jnp.concatenate([planes_cf, pad_plane2], axis=3)
+
+    V = ctx.num_views
+    outs = []
+    for v in range(V):
+        c = ncc_volume.ncc_volume_cost_view(
+            vs.E[v], vs.ref_pad, planes_cf, vs.consts[v], vs.num_slices,
+            radius=radius, increment=increment,
+        )  # [C, Hp, Wp]
+        outs.append(c[:, :H, :W])
+    costs = jnp.stack(outs)  # [V, C, H, W]
+    shape = (V,) + (1,) * (costs.ndim - 1)
+    costs = jnp.where(ctx.src_valid.reshape(shape), costs, COST_MAX)
+    if squeeze:
+        costs = costs[:, 0]
+    else:
+        pass
+    return costs
 
 
 def _warp_basis(
@@ -219,7 +386,12 @@ def cost_vector(
 ) -> jax.Array:
     """Per-source-view plain-NCC costs [V, ...] (entry 0 and padding views
     = COST_MAX), matching ComputeMultiViewCostVectorOld (APD.cu:707-716)
-    shifted so index v corresponds to camera v."""
+    shifted so index v corresponds to camera v.
+
+    Grid-mode evaluations route through the fused Pallas volume kernel
+    when the context carries volumes (PERF_NOTES.md: ~55x the XLA path)."""
+    if xs is None and ctx.volumes is not None:
+        return _cost_vector_volume(ctx, plane, radius, increment)
 
     def per_view(v):
         return ncc_cost_view(ctx, v, plane, radius, increment, xs, ys)
@@ -258,12 +430,45 @@ def geom_cost_view(
     return jnp.where(src_depth == 0.0, GEOM_COST_MAX, jnp.minimum(GEOM_COST_MAX, err))
 
 
+def _geom_cost_vector_volume(ctx: CostContext, plane: jax.Array) -> jax.Array:
+    """Grid-mode geometric costs via the depth-volume Pallas kernel."""
+    from apdmvs_tpu.ops import ncc_volume
+
+    vs = ctx.volumes
+    H, W = ctx.height, ctx.width
+    Hp, Wp = vs.D.shape[2], vs.D.shape[3]
+    squeeze = plane.ndim == 3
+    if squeeze:
+        plane = plane[None]
+    C = plane.shape[0]
+    planes_cf = jnp.moveaxis(plane, -1, 1)
+    if (Hp, Wp) != (H, W):
+        pad1 = jnp.zeros((C, 4, Hp - H, W), planes_cf.dtype).at[:, 2].set(-1.0).at[:, 3].set(1.0)
+        planes_cf = jnp.concatenate([planes_cf, pad1], axis=2)
+        pad2 = jnp.zeros((C, 4, Hp, Wp - W), planes_cf.dtype).at[:, 2].set(-1.0).at[:, 3].set(1.0)
+        planes_cf = jnp.concatenate([planes_cf, pad2], axis=3)
+    V = ctx.num_views
+    outs = []
+    for v in range(V):
+        g = ncc_volume.geom_volume_cost_view(
+            vs.D[v], planes_cf, vs.geom_consts[v], vs.num_slices
+        )
+        outs.append(g[:, :H, :W])
+    costs = jnp.stack(outs)
+    shape = (V,) + (1,) * (costs.ndim - 1)
+    costs = jnp.where(ctx.src_valid.reshape(shape), costs, GEOM_COST_MAX)
+    return costs[:, 0] if squeeze else costs
+
+
 def geom_cost_vector(
     ctx: CostContext,
     plane: jax.Array,
     xs: Optional[jax.Array] = None,
     ys: Optional[jax.Array] = None,
 ) -> jax.Array:
+    if xs is None and ctx.volumes is not None and ctx.volumes.D is not None:
+        return _geom_cost_vector_volume(ctx, plane)
+
     def per_view(v):
         return geom_cost_view(ctx, v, plane, xs, ys)
 

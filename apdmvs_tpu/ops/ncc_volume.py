@@ -1,0 +1,496 @@
+"""Fused multi-candidate NCC cost evaluation over plane-sweep volumes.
+
+The hot kernel of the framework (replaces the XLA formulation of
+ComputeBilateralNCCOld + ComputeMultiViewCostVector, reference:
+APD.cu:530-614, 696-716, whose gather lowering is ~50 cycles/element —
+PERF_NOTES.md).
+
+Per (view, pixel-tile) the kernel:
+  1. DMAs the halo'd spatial window of the padded volume E (all K slices)
+     and of the padded ref image into VMEM,
+  2. computes the fractional slice index k = (1/depth - u_min)/du of every
+     candidate plane at every window sample position (pure VPU math — the
+     depth-only warp identity, ops/__init__),
+  3. per candidate, restricts interpolation to an 8-slice sub-band around
+     the candidate's own k range (plane tilt moves k only slightly across
+     a +-radius window; extreme tilts clamp, which only mis-costs
+     hypotheses that are already near-degenerate),
+  4. accumulates NCC sums for all candidates x window samples against one
+     VMEM residency of the window,
+  5. emits cost = clamp(1 - ncc, 0, 2) with the reference's degenerate-
+     variance and out-of-source-bounds cost_max policy (APD.cu:541-613).
+
+Spatial padding convention: arrays are padded by (PAD_Y, PAD_X) =
+(8, 128) per side; E is *built* on the padded pixel grid (ops/volume
+build over padded dirs) so halo samples are exact, not border-clamped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAD_Y = 8
+PAD_X = 128
+TILE_H = 8
+TILE_W = 128
+SUB_BAND = 32  # per-(tile, candidate) interpolation sub-band (slices).
+# The base slice is one scalar per (tile, candidate), so the band must
+# cover the k spread across the whole 8x128 tile plus the +-radius window;
+# hypotheses whose spread exceeds it get clamped samples (decorrelated ->
+# high cost -> rejected), which is the conservative failure direction.
+COST_MAX = 2.0
+MIN_VAR = 1e-5
+
+# consts vector layout (one (1, 20) f32 SMEM block):
+# [fx, fy, cx, cy, u_min, du, M00..M22 (9), b0, b1, b2, src_w, src_h]
+_NCONST = 20
+
+
+def pack_consts(K0: jax.Array, M: jax.Array, b: jax.Array, u_min, du,
+                src_w: int, src_h: int) -> jax.Array:
+    return jnp.concatenate(
+        [
+            jnp.stack([K0[0, 0], K0[1, 1], K0[0, 2], K0[1, 2]]),
+            jnp.stack([jnp.asarray(u_min, jnp.float32), jnp.asarray(du, jnp.float32)]),
+            M.reshape(-1).astype(jnp.float32),
+            b.reshape(-1).astype(jnp.float32),
+            jnp.asarray([src_w, src_h], jnp.float32),
+        ]
+    ).reshape(1, _NCONST).astype(jnp.float32)
+
+
+def _offsets(radius: int, increment: int):
+    vals = list(range(-radius, radius + 1, increment))
+    return [(dx, dy) for dx in vals for dy in vals]
+
+
+def _kernel(
+    consts_ref,  # SMEM [1, NCONST]
+    planes_ref,  # VMEM [C, 4, TILE_H, TILE_W] (n_cam, w) fields
+    e_hbm,  # ANY [K, PH, PW]
+    ref_hbm,  # ANY [PH, PW] f32
+    cost_ref,  # VMEM out [C, TILE_H, TILE_W] f32
+    e_win,  # scratch VMEM [K, 3*TILE_H, 3*TILE_W]
+    ref_tile,  # scratch VMEM [3*TILE_H, 3*TILE_W] f32
+    sems,  # DMA semaphores (2,)
+    *,
+    num_slices: int,
+    num_cands: int,
+    radius: int,
+    increment: int,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    fx = consts_ref[0, 0]
+    fy = consts_ref[0, 1]
+    cx = consts_ref[0, 2]
+    cy = consts_ref[0, 3]
+    u_min = consts_ref[0, 4]
+    du = consts_ref[0, 5]
+    src_w = consts_ref[0, 18]
+    src_h = consts_ref[0, 19]
+
+    ref_dma = pltpu.make_async_copy(
+        ref_hbm.at[pl.ds(i * TILE_H, 3 * TILE_H), pl.ds(j * TILE_W, 3 * TILE_W)],
+        ref_tile,
+        sems.at[0],
+    )
+    ref_dma.start()
+    e_dma = pltpu.make_async_copy(
+        e_hbm.at[:, pl.ds(i * TILE_H, 3 * TILE_H), pl.ds(j * TILE_W, 3 * TILE_W)],
+        e_win,
+        sems.at[1],
+    )
+    e_dma.start()
+
+    # per-pixel coordinates of the tile centers (unpadded pixel coords);
+    # Mosaic iota must be integer-typed
+    ys = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + i * TILE_H
+    ).astype(jnp.float32)
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
+    ).astype(jnp.float32)
+
+    offsets = _offsets(radius, increment)
+    S = float(len(offsets))
+
+    def k_of(c, dx, dy):
+        """Fractional slice index of candidate c's plane at pixel p+Δ,
+        clamped to the volume range; also returns inverse depth."""
+        nx = planes_ref[c, 0]
+        ny = planes_ref[c, 1]
+        nz = planes_ref[c, 2]
+        w = planes_ref[c, 3]
+        dirx = (xs + dx - cx) / fx
+        diry = (ys + dy - cy) / fy
+        u = -(nx * dirx + ny * diry + nz) / w
+        k = jnp.clip((u - u_min) / du, 0.0, num_slices - 1.0)
+        return k, u
+
+    ref_dma.wait()
+    s_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    s_rr = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    ref_vals = []
+    for (dx, dy) in offsets:
+        rv = ref_tile[
+            TILE_H + dy : 2 * TILE_H + dy, TILE_W + dx : 2 * TILE_W + dx
+        ]
+        ref_vals.append(rv)
+        s_r = s_r + rv
+        s_rr = s_rr + rv * rv
+
+    e_dma.wait()
+
+    for c in range(num_cands):
+        ks = [k_of(c, dx, dy)[0] for (dx, dy) in offsets]
+        kc_min = ks[0]
+        for k in ks[1:]:
+            kc_min = jnp.minimum(kc_min, k)
+        c0 = jnp.clip(
+            jnp.floor(jnp.min(kc_min)).astype(jnp.int32) - 1,
+            0,
+            max(num_slices - SUB_BAND, 0),
+        )
+        c0f = c0.astype(jnp.float32)
+
+        s_s = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        s_ss = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        s_rs = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        for s_idx, (dx, dy) in enumerate(offsets):
+            rel = jnp.clip(ks[s_idx] - c0f, 0.0, SUB_BAND - 1.0)
+            r0 = jnp.floor(rel)
+            f = rel - r0
+            r0i = r0.astype(jnp.int32)
+            acc0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            acc1 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            for bb in range(SUB_BAND):
+                ev = e_win[
+                    c0 + bb,
+                    TILE_H + dy : 2 * TILE_H + dy,
+                    TILE_W + dx : 2 * TILE_W + dx,
+                ].astype(jnp.float32)
+                acc0 = jnp.where(r0i == bb, ev, acc0)
+                acc1 = jnp.where(jnp.minimum(r0i + 1, SUB_BAND - 1) == bb, ev, acc1)
+            sv = acc0 * (1.0 - f) + acc1 * f
+            rv = ref_vals[s_idx]
+            s_s = s_s + sv
+            s_ss = s_ss + sv * sv
+            s_rs = s_rs + rv * sv
+
+        inv = 1.0 / S
+        mr = s_r * inv
+        ms = s_s * inv
+        var_r = s_rr * inv - mr * mr
+        var_s = s_ss * inv - ms * ms
+        cov = s_rs * inv - mr * ms
+        ncc_cost = 1.0 - cov * jax.lax.rsqrt(jnp.maximum(var_r * var_s, 1e-30))
+        cost = jnp.clip(ncc_cost, 0.0, COST_MAX)
+        cost = jnp.where((var_r < MIN_VAR) | (var_s < MIN_VAR), COST_MAX, cost)
+
+        # center warp out-of-source-bounds -> cost_max (APD.cu:546-556)
+        _, u_c = k_of(c, 0, 0)
+        dirx = (xs - cx) / fx
+        diry = (ys - cy) / fy
+        M = [consts_ref[0, 6 + m] for m in range(9)]
+        b0 = consts_ref[0, 15]
+        b1 = consts_ref[0, 16]
+        b2 = consts_ref[0, 17]
+        qx = M[0] * dirx + M[1] * diry + M[2] + b0 * u_c
+        qy = M[3] * dirx + M[4] * diry + M[5] + b1 * u_c
+        qz = M[6] * dirx + M[7] * diry + M[8] + b2 * u_c
+        wx = qx / qz
+        wy = qy / qz
+        oob = (wx < 0.0) | (wx >= src_w) | (wy < 0.0) | (wy >= src_h)
+        cost_ref[c] = jnp.where(oob, COST_MAX, cost)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_slices", "radius", "increment", "interpret"),
+)
+def ncc_volume_cost_view(
+    E_pad: jax.Array,  # [K, H+2*PAD_Y, W+2*PAD_X] bf16/f32
+    ref_pad: jax.Array,  # [H+2*PAD_Y, W+2*PAD_X] f32
+    planes: jax.Array,  # [C, 4, H, W] f32 — (n_cam, w) channel-first
+    consts: jax.Array,  # [1, NCONST] f32 (pack_consts)
+    num_slices: int,
+    radius: int = 5,
+    increment: int = 2,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused plain-NCC costs of C candidate plane fields against one source
+    view via its plane-sweep volume. Returns [C, H, W] f32.
+
+    H must be a multiple of 8 and W of 128 (callers pad the pixel grid).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    C = planes.shape[0]
+    H, W = planes.shape[2], planes.shape[3]
+    K = E_pad.shape[0]
+    assert H % TILE_H == 0 and W % TILE_W == 0
+    assert E_pad.shape[1] == H + 2 * PAD_Y and E_pad.shape[2] == W + 2 * PAD_X
+
+    kernel = functools.partial(
+        _kernel,
+        num_slices=num_slices,
+        num_cands=C,
+        radius=radius,
+        increment=increment,
+    )
+    grid = (H // TILE_H, W // TILE_W)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _NCONST), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (C, 4, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, 3 * TILE_H, 3 * TILE_W), E_pad.dtype),
+            pltpu.VMEM((3 * TILE_H, 3 * TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(consts, planes, E_pad, ref_pad)
+
+
+# ---------------------------------------------------------------------------
+# Geometric-consistency cost over depth volumes
+# ---------------------------------------------------------------------------
+
+# geom consts layout (one (1, 32) f32 SMEM block):
+# [fx, fy, cx, cy, u_min, du, M(9), b(3), A(9), t'(3), src_w, src_h, 0]
+_NGEOM = 32
+GEOM_COST_MAX = 3.0
+
+
+def pack_geom_consts(
+    K0: jax.Array, M: jax.Array, b: jax.Array, A: jax.Array, t2: jax.Array,
+    u_min, du, src_w: int, src_h: int
+) -> jax.Array:
+    """A = K_ref R_ref R_src^T K_src^{-1}; t2 = K_ref R_ref (c_src - c_ref):
+    closed-form reprojection of (src pixel, src depth) back into the ref
+    view (reference ComputeGeomConsistencyCost: APD.cu:752-789)."""
+    return jnp.concatenate(
+        [
+            jnp.stack([K0[0, 0], K0[1, 1], K0[0, 2], K0[1, 2]]),
+            jnp.stack([jnp.asarray(u_min, jnp.float32), jnp.asarray(du, jnp.float32)]),
+            M.reshape(-1).astype(jnp.float32),
+            b.reshape(-1).astype(jnp.float32),
+            A.reshape(-1).astype(jnp.float32),
+            t2.reshape(-1).astype(jnp.float32),
+            jnp.asarray([src_w, src_h], jnp.float32),
+        ]
+    ).reshape(1, _NGEOM).astype(jnp.float32)
+
+
+def _geom_kernel(
+    consts_ref,  # SMEM [1, _NGEOM]
+    planes_ref,  # VMEM [C, 4, TILE_H, TILE_W]
+    d_ref,  # VMEM [K, TILE_H, TILE_W] depth-volume block (no halo needed)
+    cost_ref,  # VMEM out [C, TILE_H, TILE_W]
+    *,
+    num_slices: int,
+    num_cands: int,
+):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    fx = consts_ref[0, 0]
+    fy = consts_ref[0, 1]
+    cx = consts_ref[0, 2]
+    cy = consts_ref[0, 3]
+    u_min = consts_ref[0, 4]
+    du = consts_ref[0, 5]
+    M = [consts_ref[0, 6 + m] for m in range(9)]
+    b0, b1, b2 = consts_ref[0, 15], consts_ref[0, 16], consts_ref[0, 17]
+    A = [consts_ref[0, 18 + m] for m in range(9)]
+    t0, t1, t2 = consts_ref[0, 27], consts_ref[0, 28], consts_ref[0, 29]
+    src_w = consts_ref[0, 30]
+    src_h = consts_ref[0, 31]
+
+    ys = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + i * TILE_H
+    ).astype(jnp.float32)
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
+    ).astype(jnp.float32)
+    dirx = (xs - cx) / fx
+    diry = (ys - cy) / fy
+
+    for c in range(num_cands):
+        nx = planes_ref[c, 0]
+        ny = planes_ref[c, 1]
+        nz = planes_ref[c, 2]
+        w = planes_ref[c, 3]
+        u = -(nx * dirx + ny * diry + nz) / w
+        k = jnp.clip((u - u_min) / du, 0.0, num_slices - 1.0)
+        # nearest-slice depth lookup via per-tile sub-band select
+        c0 = jnp.clip(
+            jnp.floor(jnp.min(k)).astype(jnp.int32),
+            0,
+            max(num_slices - SUB_BAND, 0),
+        )
+        rel = jnp.clip(k - c0.astype(jnp.float32), 0.0, SUB_BAND - 1.0)
+        ri = jnp.round(rel).astype(jnp.int32)
+        sd = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        for bb in range(SUB_BAND):
+            dv = d_ref[c0 + bb].astype(jnp.float32)
+            sd = jnp.where(ri == bb, dv, sd)
+
+        # warped src position (analytic)
+        qx = M[0] * dirx + M[1] * diry + M[2] + b0 * u
+        qy = M[3] * dirx + M[4] * diry + M[5] + b1 * u
+        qz = M[6] * dirx + M[7] * diry + M[8] + b2 * u
+        px = qx / qz
+        py = qy / qz
+        oob = (px < 0.0) | (px >= src_w) | (py < 0.0) | (py >= src_h)
+
+        # reproject (src pixel, src depth) into ref: q2 = sd * A ps~ + t'
+        rx_ = A[0] * px + A[1] * py + A[2]
+        ry_ = A[3] * px + A[4] * py + A[5]
+        rz_ = A[6] * px + A[7] * py + A[8]
+        q2x = sd * rx_ + t0
+        q2y = sd * ry_ + t1
+        q2z = sd * rz_ + t2
+        bx = q2x / q2z
+        by = q2y / q2z
+        err = jnp.sqrt((xs - bx) * (xs - bx) + (ys - by) * (ys - by))
+        cost = jnp.minimum(err, GEOM_COST_MAX)
+        cost = jnp.where((sd == 0.0) | oob, GEOM_COST_MAX, cost)
+        cost_ref[c] = cost
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_slices", "interpret")
+)
+def geom_volume_cost_view(
+    D: jax.Array,  # [K, Hp, Wp] f32/bf16 depth volume (unpadded spatially)
+    planes: jax.Array,  # [C, 4, H, W]
+    consts: jax.Array,  # [1, _NGEOM]
+    num_slices: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Geometric-consistency costs [C, H, W] via the depth volume."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    C = planes.shape[0]
+    H, W = planes.shape[2], planes.shape[3]
+    K = D.shape[0]
+    kernel = functools.partial(
+        _geom_kernel, num_slices=num_slices, num_cands=C
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.float32),
+        grid=(H // TILE_H, W // TILE_W),
+        in_specs=[
+            pl.BlockSpec((1, _NGEOM), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (C, 4, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (K, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(consts, planes, D)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation (same volume semantics, for tests)
+# ---------------------------------------------------------------------------
+
+
+def ncc_volume_cost_view_ref(
+    E_pad: jax.Array,
+    ref_pad: jax.Array,
+    planes: jax.Array,
+    consts: jax.Array,
+    num_slices: int,
+    radius: int = 5,
+    increment: int = 2,
+) -> jax.Array:
+    """Pure-XLA mirror of the kernel (full-range interpolation, no
+    sub-band clamping)."""
+    from apdmvs_tpu.ops import volume as vol
+
+    C, _, H, W = planes.shape
+    fx, fy, cx, cy, u_min, du = (consts[0, m] for m in range(6))
+    M = consts[0, 6:15].reshape(3, 3)
+    b = consts[0, 15:18]
+    src_w, src_h = consts[0, 18], consts[0, 19]
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    offsets = _offsets(radius, increment)
+    S = float(len(offsets))
+
+    out = []
+    for c in range(C):
+        n = jnp.moveaxis(planes[c, :3], 0, -1)
+        w = planes[c, 3]
+        s_r = s_rr = s_s = s_ss = s_rs = 0.0
+        for (dx, dy) in offsets:
+            dirx = (xs + dx - cx) / fx
+            diry = (ys + dy - cy) / fy
+            u = -(n[..., 0] * dirx + n[..., 1] * diry + n[..., 2]) / w
+            k = jnp.clip((u - u_min) / du, 0.0, num_slices - 1.0)
+            E_sh = E_pad[
+                :, PAD_Y + dy : PAD_Y + dy + H, PAD_X + dx : PAD_X + dx + W
+            ]
+            sv = vol.volume_sample_ref(E_sh, k)
+            rv = ref_pad[PAD_Y + dy : PAD_Y + dy + H, PAD_X + dx : PAD_X + dx + W]
+            s_r = s_r + rv
+            s_rr = s_rr + rv * rv
+            s_s = s_s + sv
+            s_ss = s_ss + sv * sv
+            s_rs = s_rs + rv * sv
+        inv = 1.0 / S
+        mr, ms = s_r * inv, s_s * inv
+        var_r = s_rr * inv - mr * mr
+        var_s = s_ss * inv - ms * ms
+        cov = s_rs * inv - mr * ms
+        cost = jnp.clip(1.0 - cov * jax.lax.rsqrt(jnp.maximum(var_r * var_s, 1e-30)),
+                        0.0, COST_MAX)
+        cost = jnp.where((var_r < MIN_VAR) | (var_s < MIN_VAR), COST_MAX, cost)
+        dirx = (xs - cx) / fx
+        diry = (ys - cy) / fy
+        u_c = -(n[..., 0] * dirx + n[..., 1] * diry + n[..., 2]) / w
+        qx = M[0, 0] * dirx + M[0, 1] * diry + M[0, 2] + b[0] * u_c
+        qy = M[1, 0] * dirx + M[1, 1] * diry + M[1, 2] + b[1] * u_c
+        qz = M[2, 0] * dirx + M[2, 1] * diry + M[2, 2] + b[2] * u_c
+        oob = (qx / qz < 0) | (qx / qz >= src_w) | (qy / qz < 0) | (qy / qz >= src_h)
+        out.append(jnp.where(oob, COST_MAX, cost))
+    return jnp.stack(out)

@@ -62,10 +62,11 @@ def patchmatch_pass_impl(
     ransac_threshold: jax.Array,
     depth_maps: Optional[jax.Array] = None,  # [V, H, W] for geom passes
     weak_capacity: int = 0,
+    volumes: Optional[ncc.VolumeSet] = None,  # Pallas fast-path volumes
 ) -> PassOutputs:
     """One full pass over one reference view. See module docstring."""
     V, H, W = images.shape
-    ctx = ncc.make_context(images, cams, src_valid, depth_maps)
+    ctx = ncc.make_context(images, cams, src_valid, depth_maps, volumes=volumes)
     depth_min = cams.depth_min[0]
     depth_max = cams.depth_max[0]
 

@@ -21,9 +21,14 @@ import numpy as np
 def bilinear_sample(image: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     """Bilinear sample of a single-channel image at float pixel coords.
 
-    image: [H, W]; x, y: arbitrary matching shapes. Border-clamped.
+    image: [H, W]; x, y: arbitrary matching shapes. Border-clamped with
+    CUDA clamp-addressing semantics (coordinates clamped *before* the
+    fractional split, so out-of-range reads return pure edge values —
+    matching the reference's texture setup, APD.cpp:596-602).
     """
     H, W = image.shape
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     wx = x - x0f

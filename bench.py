@@ -84,12 +84,25 @@ def main() -> None:
     sv = jnp.asarray(src_valid)
     rth = jnp.asarray(0.00875, jnp.float32)
 
+    # plane-sweep volumes: built once per (problem, scale), reused by every
+    # pass/iteration (PERF_NOTES.md). Timed separately below.
+    from apdmvs_tpu import ncc
+
+    t0 = time.time()
+    vols = ncc.build_volume_set(
+        imgs, gc, 2.0 * 0.6, 8.0 * 1.2, num_slices=160, depth_maps=dm
+    )
+    np.asarray(vols.E[1, 0, 0])
+    vol_s = time.time() - t0
+
     def run(seed):
         out = pipeline.patchmatch_pass(
             imgs, gc, sv, prior, jax.random.PRNGKey(seed), cfg, rth,
-            depth_maps=dm, weak_capacity=weak_capacity,
+            depth_maps=dm, weak_capacity=weak_capacity, volumes=vols,
         )
-        jax.block_until_ready(out)
+        # force completion: block_until_ready does not actually block on
+        # the axon platform (PERF_NOTES.md)
+        np.asarray(out.depth)
         return out
 
     run(0)  # compile + warmup
