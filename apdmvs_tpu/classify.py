@@ -148,7 +148,9 @@ def depth_to_weak(
     min_val = jnp.min(peak_vals, axis=0)
     min_peak = jnp.where(min_val < COST_MAX, jnp.argmin(peak_vals, axis=0), 0)
     min_cost = jnp.minimum(min_val, COST_MAX)
-    cost_at_min_peak = jnp.take_along_axis(p_costs, min_peak[None], axis=0)[0]
+    from apdmvs_tpu import sampling
+
+    cost_at_min_peak = sampling.select_index(p_costs, min_peak)
 
     off_center = jnp.abs(min_peak - _SWEEP_RADIUS) > weak_peak_radius
     weak_now = off_center | (cost_at_min_peak > 0.5)
@@ -208,8 +210,10 @@ def local_refine(
     )
     costs = jnp.where(in_range, raw, COST_MAX)  # [11, H, W]
     best = jnp.argmin(costs, axis=0)
-    min_cost = jnp.take_along_axis(costs, best[None], axis=0)[0]
-    best_depth = jnp.take_along_axis(p_depths, best[None], axis=0)[0]
+    from apdmvs_tpu import sampling
+
+    min_cost = sampling.select_index(costs, best)
+    best_depth = sampling.select_index(p_depths, best)
     accept = (
         (cost_now - min_cost > 0.1)
         & (origin_depth != 0)

@@ -54,10 +54,20 @@ class VolumeSet(NamedTuple):
     ref_pad: jax.Array
     D: Optional[jax.Array] = None
     geom_consts: Optional[jax.Array] = None
+    # NCC cost volumes for the weak/APD machinery (ops/cost_volume.py):
+    # C36 = strong patch config (radius 5, step 2), C9 = anchor patch
+    # config (radius 5, step 5). [V, K, PH, PW] bf16.
+    C36: Optional[jax.Array] = None
+    C9: Optional[jax.Array] = None
 
     @property
     def num_slices(self) -> int:
         return self.E.shape[1]
+
+    @property
+    def u_grid(self):
+        """(u_min, du) of the slice grid as traced scalars."""
+        return self.consts[1, 0, 4], self.consts[1, 0, 5]
 
 
 class CostContext(NamedTuple):
@@ -83,6 +93,9 @@ class CostContext(NamedTuple):
     src_valid: jax.Array  # [V] bool
     depth_maps: Optional[jax.Array]
     volumes: Optional[VolumeSet] = None
+    # bf16 copy for point-mode (worklist) gathers: TPU gather time scales
+    # with bytes (PERF_NOTES.md) and images are 8-bit quantized anyway.
+    images_bf16: Optional[jax.Array] = None
 
     @property
     def height(self) -> int:
@@ -118,6 +131,7 @@ def make_context(
         src_valid=jnp.asarray(src_valid, bool),
         depth_maps=None if depth_maps is None else jnp.asarray(depth_maps, jnp.float32),
         volumes=volumes,
+        images_bf16=jnp.asarray(images, jnp.bfloat16),
     )
 
 
@@ -132,6 +146,7 @@ def build_volume_set(
     depth_max,
     num_slices: int = 160,
     depth_maps: Optional[jax.Array] = None,  # [V, H, W] for geom passes
+    weak_cost_volumes: bool = True,
 ) -> VolumeSet:
     """Build the per-source-view plane-sweep volumes (Pallas builder).
 
@@ -206,12 +221,24 @@ def build_volume_set(
         ),
         mode="edge",
     )
+    C36 = C9 = None
+    if weak_cost_volumes:
+        from apdmvs_tpu.ops import cost_volume as cv
+
+        C36 = jnp.stack(
+            [cv.build_cost_volume(E, ref_pad, radius=5, increment=2) for E in Es]
+        )
+        C9 = jnp.stack(
+            [cv.build_cost_volume(E, ref_pad, radius=5, increment=5) for E in Es]
+        )
     return VolumeSet(
         E=jnp.stack(Es),
         consts=jnp.stack(consts),
         ref_pad=ref_pad,
         D=None if Ds is None else jnp.stack(Ds),
         geom_consts=None if gconsts is None else jnp.stack(gconsts),
+        C36=C36,
+        C9=C9,
     )
 
 
@@ -241,21 +268,22 @@ def _cost_vector_volume(
         planes_cf = jnp.concatenate([planes_cf, pad_plane2], axis=3)
 
     V = ctx.num_views
-    outs = []
-    for v in range(V):
-        c = ncc_volume.ncc_volume_cost_view(
+    # per-view unrolled kernels: measured 5x faster than a fori_loop-based
+    # all-views kernel (Mosaic pipelines unrolled bodies; fori adds per-
+    # iteration overhead on tiny [8,128] ops)
+    outs = [
+        ncc_volume.ncc_volume_cost_view(
             vs.E[v], vs.ref_pad, planes_cf, vs.consts[v], vs.num_slices,
             radius=radius, increment=increment,
-        )  # [C, Hp, Wp]
-        outs.append(c[:, :H, :W])
-    costs = jnp.stack(outs)  # [V, C, H, W]
+        )[:, :H, :W]
+        for v in range(1, V)
+    ]
+    costs = jnp.concatenate(
+        [jnp.full((1,) + outs[0].shape, COST_MAX, jnp.float32), jnp.stack(outs)]
+    )  # [V, C, H, W]
     shape = (V,) + (1,) * (costs.ndim - 1)
     costs = jnp.where(ctx.src_valid.reshape(shape), costs, COST_MAX)
-    if squeeze:
-        costs = costs[:, 0]
-    else:
-        pass
-    return costs
+    return costs[:, 0] if squeeze else costs
 
 
 def _warp_basis(
@@ -319,8 +347,14 @@ def ncc_cost_view(
     """
     offsets = sampling.patch_offsets(radius, increment)
     S = offsets.shape[0]
-    src_img = jnp.take(ctx.images, v, axis=0)
-    ref_img = ctx.images[0]
+    grid_mode_pre = xs is None
+    if grid_mode_pre or ctx.images_bf16 is None:
+        src_img = jnp.take(ctx.images, v, axis=0)
+        ref_img = ctx.images[0]
+    else:
+        # point mode: bf16 gather sources (gather cost scales with bytes)
+        src_img = jnp.take(ctx.images_bf16, v, axis=0)
+        ref_img = ctx.images_bf16[0]
     H, W = ctx.height, ctx.width
     src_h = H  # all views share one resolution (reference: main.cpp:51-70)
     src_w = W
@@ -376,6 +410,64 @@ def ncc_cost_view(
     return jnp.where(center_oob, COST_MAX, cost)
 
 
+def point_warp_oob(
+    ctx: CostContext, v_consts: jax.Array, dirs: jax.Array, u: jax.Array
+) -> jax.Array:
+    """Analytic out-of-source-bounds test of a warped point from packed
+    per-view consts (replaces texture-bounds checks; APD.cu:546-556)."""
+    M = v_consts[6:15].reshape(3, 3)
+    b = v_consts[15:18]
+    src_w = v_consts[18]
+    src_h = v_consts[19]
+    q = geometry.mat3_vec(M, dirs) + b * u[..., None]
+    px = q[..., 0] / q[..., 2]
+    py = q[..., 1] / q[..., 2]
+    return (px < 0.0) | (px >= src_w) | (py < 0.0) | (py >= src_h)
+
+
+def point_cost_volume(
+    ctx: CostContext,
+    plane: jax.Array,  # [..., P, 4]
+    xs: jax.Array,  # [P] or [P, A] integer coords
+    ys: jax.Array,
+    which: str,  # 'C36' (radius 5 step 2) | 'C9' (radius 5 step 5)
+) -> Tuple[jax.Array, jax.Array]:
+    """Point-mode patch NCC via the precomputed cost volumes
+    (ops/cost_volume.py; fronto-parallel-at-center approximation).
+
+    Returns (costs [V, ..., P(, A)], oob [V, ..., P(, A)]); view 0 =
+    COST_MAX. Invalid views masked by the caller.
+    """
+    from apdmvs_tpu.ops import cost_volume as cvol, ncc_volume
+
+    vs = ctx.volumes
+    C = vs.C36 if which == "C36" else vs.C9
+    u_min, du = vs.u_grid
+    dirs = geometry.pixel_dirs(ctx.cams.K[0], xs.astype(jnp.float32), ys.astype(jnp.float32))
+    n = plane[..., :3]
+    w = plane[..., 3]
+    u = -jnp.sum(n * dirs, axis=-1) / w  # [..., P(, A)]
+    k = (u - u_min) / du
+    V = ctx.num_views
+    costs = []
+    oobs = []
+    for v in range(V):
+        if v == 0:
+            continue
+        c = cvol.fetch_cost(
+            C[v], xs, ys, k, ncc_volume.PAD_Y, ncc_volume.PAD_X
+        )
+        o = point_warp_oob(ctx, vs.consts[v, 0], dirs, u)
+        costs.append(jnp.where(o, COST_MAX, c))
+        oobs.append(o)
+    pad = jnp.full_like(costs[0], COST_MAX)
+    cost_all = jnp.concatenate([pad[None], jnp.stack(costs)])
+    oob_all = jnp.concatenate([jnp.ones_like(oobs[0])[None], jnp.stack(oobs)])
+    shape = (V,) + (1,) * (cost_all.ndim - 1)
+    cost_all = jnp.where(ctx.src_valid.reshape(shape), cost_all, COST_MAX)
+    return cost_all, oob_all
+
+
 def cost_vector(
     ctx: CostContext,
     plane: jax.Array,
@@ -389,9 +481,20 @@ def cost_vector(
     shifted so index v corresponds to camera v.
 
     Grid-mode evaluations route through the fused Pallas volume kernel
-    when the context carries volumes (PERF_NOTES.md: ~55x the XLA path)."""
+    when the context carries volumes (PERF_NOTES.md: ~55x the XLA path);
+    point-mode (worklist) evaluations with the standard patch configs use
+    the precomputed cost volumes."""
     if xs is None and ctx.volumes is not None:
         return _cost_vector_volume(ctx, plane, radius, increment)
+    if (
+        xs is not None
+        and ctx.volumes is not None
+        and ctx.volumes.C36 is not None
+        and (radius, increment) in ((5, 2), (5, 5))
+    ):
+        which = "C36" if (radius, increment) == (5, 2) else "C9"
+        costs, _ = point_cost_volume(ctx, plane, xs, ys, which)
+        return costs
 
     def per_view(v):
         return ncc_cost_view(ctx, v, plane, radius, increment, xs, ys)
@@ -448,13 +551,15 @@ def _geom_cost_vector_volume(ctx: CostContext, plane: jax.Array) -> jax.Array:
         pad2 = jnp.zeros((C, 4, Hp, Wp - W), planes_cf.dtype).at[:, 2].set(-1.0).at[:, 3].set(1.0)
         planes_cf = jnp.concatenate([planes_cf, pad2], axis=3)
     V = ctx.num_views
-    outs = []
-    for v in range(V):
-        g = ncc_volume.geom_volume_cost_view(
+    outs = [
+        ncc_volume.geom_volume_cost_view(
             vs.D[v], planes_cf, vs.geom_consts[v], vs.num_slices
-        )
-        outs.append(g[:, :H, :W])
-    costs = jnp.stack(outs)
+        )[:, :H, :W]
+        for v in range(1, V)
+    ]
+    costs = jnp.concatenate(
+        [jnp.full((1,) + outs[0].shape, GEOM_COST_MAX, jnp.float32), jnp.stack(outs)]
+    )
     shape = (V,) + (1,) * (costs.ndim - 1)
     costs = jnp.where(ctx.src_valid.reshape(shape), costs, GEOM_COST_MAX)
     return costs[:, 0] if squeeze else costs

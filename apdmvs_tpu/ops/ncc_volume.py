@@ -277,6 +277,275 @@ def ncc_volume_cost_view(
     )(consts, planes, E_pad, ref_pad)
 
 
+def _kernel_mv(
+    consts_ref,  # SMEM [V, NCONST]
+    planes_ref,  # VMEM [C, 4, TILE_H, TILE_W]
+    e_hbm,  # ANY [V, K, PH, PW]
+    ref_hbm,  # ANY [PH, PW] f32
+    cost_ref,  # VMEM out [V, C, TILE_H, TILE_W]
+    e_win,  # scratch VMEM [2, K, 3*TILE_H, 3*TILE_W] (double-buffered)
+    ref_tile,  # scratch VMEM [3*TILE_H, 3*TILE_W] f32
+    acc_s,  # scratch VMEM [C, 3, TILE_H, TILE_W]: s_s, s_ss, s_rs
+    kmin_s,  # scratch SMEM [C, 1] per-candidate tile k minimum
+    sems,  # DMA semaphores (3,)
+    *,
+    num_views: int,
+    num_slices: int,
+    num_cands: int,
+    radius: int,
+    increment: int,
+):
+    """All (source view, candidate) NCC costs for one tile in a single
+    kernel instance: one ref-tile DMA, V double-buffered volume-window
+    DMAs, all candidates and window samples evaluated per residency.
+
+    Loop order is chosen for compiled-code size (the remote Mosaic
+    compiler rejects multi-MB kernels): the 36 static window offsets are
+    the only unrolled python loop; candidates and band slices run as
+    fori_loops with VMEM/SMEM accumulators, so the instruction count is
+    O(V * S), not O(V * S * C * BAND)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    ref_dma = pltpu.make_async_copy(
+        ref_hbm.at[pl.ds(i * TILE_H, 3 * TILE_H), pl.ds(j * TILE_W, 3 * TILE_W)],
+        ref_tile,
+        sems.at[0],
+    )
+    ref_dma.start()
+
+    def e_copy(v, slot):
+        return pltpu.make_async_copy(
+            e_hbm.at[
+                v, :, pl.ds(i * TILE_H, 3 * TILE_H), pl.ds(j * TILE_W, 3 * TILE_W)
+            ],
+            e_win.at[slot],
+            sems.at[1 + slot],
+        )
+
+    e_copy(1, 1 % 2).start()
+
+    ys = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + i * TILE_H
+    ).astype(jnp.float32)
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
+    ).astype(jnp.float32)
+    offsets = _offsets(radius, increment)
+    S = float(len(offsets))
+
+    ref_dma.wait()
+    s_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    s_rr = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    ref_vals = []
+    for (dx, dy) in offsets:
+        rv = ref_tile[TILE_H + dy : 2 * TILE_H + dy, TILE_W + dx : 2 * TILE_W + dx]
+        ref_vals.append(rv)
+        s_r = s_r + rv
+        s_rr = s_rr + rv * rv
+
+    for v in range(1, num_views):
+        slot = v % 2
+        e_copy(v, slot).wait()
+        if v + 1 < num_views:
+            e_copy(v + 1, (v + 1) % 2).start()
+
+        fx = consts_ref[v, 0]
+        fy = consts_ref[v, 1]
+        cx = consts_ref[v, 2]
+        cy = consts_ref[v, 3]
+        u_min = consts_ref[v, 4]
+        du = consts_ref[v, 5]
+        src_w = consts_ref[v, 18]
+        src_h = consts_ref[v, 19]
+
+        def k_of_c(c, dx, dy):
+            """k field of (fori-traced) candidate c at offset (dx, dy)."""
+            nx = planes_ref[c, 0]
+            ny = planes_ref[c, 1]
+            nz = planes_ref[c, 2]
+            w = planes_ref[c, 3]
+            dirx = (xs + dx - cx) / fx
+            diry = (ys + dy - cy) / fy
+            u = -(nx * dirx + ny * diry + nz) / w
+            return jnp.clip((u - u_min) / du, 0.0, num_slices - 1.0), u
+
+        # ---- pass 1: per-candidate k minimum over all samples ----
+        def kmin_body(c, _):
+            m = jnp.asarray(num_slices - 1.0, jnp.float32)
+            for (dx, dy) in offsets:
+                k, _u = k_of_c(c, dx, dy)
+                m = jnp.minimum(m, jnp.min(k))
+            kmin_s[c, 0] = m
+            return 0
+
+        jax.lax.fori_loop(0, num_cands, kmin_body, 0)
+
+        # ---- pass 2: accumulate NCC sums per candidate ----
+        def zero_body(c, _):
+            acc_s[c, 0] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            acc_s[c, 1] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            acc_s[c, 2] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, num_cands, zero_body, 0)
+
+        for s_idx, (dx, dy) in enumerate(offsets):
+            rv = ref_vals[s_idx]
+
+            def cand_body(c, _, _dx=dx, _dy=dy, _rv=rv, _slot=slot):
+                k, _u = k_of_c(c, _dx, _dy)
+                c0 = jnp.clip(
+                    jnp.floor(kmin_s[c, 0]).astype(jnp.int32) - 1,
+                    0,
+                    max(num_slices - SUB_BAND, 0),
+                )
+                rel = jnp.clip(k - c0.astype(jnp.float32), 0.0, SUB_BAND - 1.0)
+                r0 = jnp.floor(rel)
+                f = rel - r0
+                r0i = r0.astype(jnp.int32)
+
+                def band_body(bb, carry):
+                    a0, a1 = carry
+                    ev = e_win[
+                        _slot,
+                        c0 + bb,
+                        TILE_H + _dy : 2 * TILE_H + _dy,
+                        TILE_W + _dx : 2 * TILE_W + _dx,
+                    ].astype(jnp.float32)
+                    a0 = jnp.where(r0i == bb, ev, a0)
+                    a1 = jnp.where(
+                        jnp.minimum(r0i + 1, SUB_BAND - 1) == bb, ev, a1
+                    )
+                    return (a0, a1)
+
+                acc0, acc1 = jax.lax.fori_loop(
+                    0, SUB_BAND, band_body,
+                    (
+                        jnp.zeros((TILE_H, TILE_W), jnp.float32),
+                        jnp.zeros((TILE_H, TILE_W), jnp.float32),
+                    ),
+                )
+                sv = acc0 * (1.0 - f) + acc1 * f
+                acc_s[c, 0] = acc_s[c, 0] + sv
+                acc_s[c, 1] = acc_s[c, 1] + sv * sv
+                acc_s[c, 2] = acc_s[c, 2] + _rv * sv
+                return 0
+
+            jax.lax.fori_loop(0, num_cands, cand_body, 0)
+
+        # ---- pass 3: NCC + bounds policy per candidate ----
+        def out_body(c, _):
+            inv = 1.0 / S
+            mr = s_r * inv
+            ms = acc_s[c, 0] * inv
+            var_r = s_rr * inv - mr * mr
+            var_s = acc_s[c, 1] * inv - ms * ms
+            cov = acc_s[c, 2] * inv - mr * ms
+            ncc_cost = 1.0 - cov * jax.lax.rsqrt(
+                jnp.maximum(var_r * var_s, 1e-30)
+            )
+            cost = jnp.clip(ncc_cost, 0.0, COST_MAX)
+            cost = jnp.where(
+                (var_r < MIN_VAR) | (var_s < MIN_VAR), COST_MAX, cost
+            )
+            _k, u_c = k_of_c(c, 0, 0)
+            dirx = (xs - cx) / fx
+            diry = (ys - cy) / fy
+            M = [consts_ref[v, 6 + m] for m in range(9)]
+            b0 = consts_ref[v, 15]
+            b1 = consts_ref[v, 16]
+            b2 = consts_ref[v, 17]
+            qx = M[0] * dirx + M[1] * diry + M[2] + b0 * u_c
+            qy = M[3] * dirx + M[4] * diry + M[5] + b1 * u_c
+            qz = M[6] * dirx + M[7] * diry + M[8] + b2 * u_c
+            oob = (
+                (qx / qz < 0.0)
+                | (qx / qz >= src_w)
+                | (qy / qz < 0.0)
+                | (qy / qz >= src_h)
+            )
+            cost_ref[v, c] = jnp.where(oob, COST_MAX, cost)
+            return 0
+
+        jax.lax.fori_loop(0, num_cands, out_body, 0)
+
+    # view 0: never used (masked by src_valid); fill with COST_MAX
+    def v0_body(c, _):
+        cost_ref[0, c] = jnp.full((TILE_H, TILE_W), COST_MAX, jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, num_cands, v0_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_slices", "radius", "increment", "interpret"),
+)
+def ncc_volume_cost_allviews(
+    E_pad: jax.Array,  # [V, K, H+2*PAD_Y, W+2*PAD_X] bf16/f32
+    ref_pad: jax.Array,  # [H+2*PAD_Y, W+2*PAD_X] f32
+    planes: jax.Array,  # [C, 4, H, W] f32
+    consts: jax.Array,  # [V, NCONST] f32
+    num_slices: int,
+    radius: int = 5,
+    increment: int = 2,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """All source views in one kernel: returns [V, C, H, W] f32 (view 0 =
+    COST_MAX). One pallas site per cost evaluation keeps XLA programs small
+    (35 single-view sites made passes uncompilable in reasonable time)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    V = E_pad.shape[0]
+    K = E_pad.shape[1]
+    C = planes.shape[0]
+    H, W = planes.shape[2], planes.shape[3]
+    assert H % TILE_H == 0 and W % TILE_W == 0
+
+    kernel = functools.partial(
+        _kernel_mv,
+        num_views=V,
+        num_slices=num_slices,
+        num_cands=C,
+        radius=radius,
+        increment=increment,
+    )
+    grid = (H // TILE_H, W // TILE_W)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, C, H, W), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((V, _NCONST), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (C, 4, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (V, C, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, 3 * TILE_H, 3 * TILE_W), E_pad.dtype),
+            pltpu.VMEM((3 * TILE_H, 3 * TILE_W), jnp.float32),
+            pltpu.VMEM((C, 3, TILE_H, TILE_W), jnp.float32),
+            pltpu.SMEM((C, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(consts, planes, E_pad, ref_pad)
+
+
 # ---------------------------------------------------------------------------
 # Geometric-consistency cost over depth volumes
 # ---------------------------------------------------------------------------
@@ -424,6 +693,134 @@ def geom_volume_cost_view(
         ],
         out_specs=pl.BlockSpec(
             (C, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(consts, planes, D)
+
+
+def _geom_kernel_mv(
+    consts_ref,  # SMEM [V, _NGEOM]
+    planes_ref,  # VMEM [C, 4, TILE_H, TILE_W]
+    d_ref,  # VMEM [V, K, TILE_H, TILE_W]
+    cost_ref,  # VMEM out [V, C, TILE_H, TILE_W]
+    *,
+    num_views: int,
+    num_slices: int,
+    num_cands: int,
+):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ys = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + i * TILE_H
+    ).astype(jnp.float32)
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
+    ).astype(jnp.float32)
+
+    def v0_body(c, _):
+        cost_ref[0, c] = jnp.full((TILE_H, TILE_W), GEOM_COST_MAX, jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, num_cands, v0_body, 0)
+    for v in range(1, num_views):
+        fx = consts_ref[v, 0]
+        fy = consts_ref[v, 1]
+        cx = consts_ref[v, 2]
+        cy = consts_ref[v, 3]
+        u_min = consts_ref[v, 4]
+        du = consts_ref[v, 5]
+        M = [consts_ref[v, 6 + m] for m in range(9)]
+        b0, b1, b2 = consts_ref[v, 15], consts_ref[v, 16], consts_ref[v, 17]
+        A = [consts_ref[v, 18 + m] for m in range(9)]
+        t0, t1, t2 = consts_ref[v, 27], consts_ref[v, 28], consts_ref[v, 29]
+        src_w = consts_ref[v, 30]
+        src_h = consts_ref[v, 31]
+        dirx = (xs - cx) / fx
+        diry = (ys - cy) / fy
+
+        def cand_body(c, _, _v=v):
+            nx = planes_ref[c, 0]
+            ny = planes_ref[c, 1]
+            nz = planes_ref[c, 2]
+            w = planes_ref[c, 3]
+            u = -(nx * dirx + ny * diry + nz) / w
+            k = jnp.clip((u - u_min) / du, 0.0, num_slices - 1.0)
+            c0 = jnp.clip(
+                jnp.floor(jnp.min(k)).astype(jnp.int32),
+                0,
+                max(num_slices - SUB_BAND, 0),
+            )
+            rel = jnp.clip(k - c0.astype(jnp.float32), 0.0, SUB_BAND - 1.0)
+            ri = jnp.round(rel).astype(jnp.int32)
+
+            def sd_body(bb, sd_c):
+                dv = d_ref[_v, c0 + bb].astype(jnp.float32)
+                return jnp.where(ri == bb, dv, sd_c)
+
+            sd = jax.lax.fori_loop(
+                0, SUB_BAND, sd_body, jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            )
+
+            qx = M[0] * dirx + M[1] * diry + M[2] + b0 * u
+            qy = M[3] * dirx + M[4] * diry + M[5] + b1 * u
+            qz = M[6] * dirx + M[7] * diry + M[8] + b2 * u
+            px = qx / qz
+            py = qy / qz
+            oob = (px < 0.0) | (px >= src_w) | (py < 0.0) | (py >= src_h)
+            rx_ = A[0] * px + A[1] * py + A[2]
+            ry_ = A[3] * px + A[4] * py + A[5]
+            rz_ = A[6] * px + A[7] * py + A[8]
+            q2x = sd * rx_ + t0
+            q2y = sd * ry_ + t1
+            q2z = sd * rz_ + t2
+            err = jnp.sqrt((xs - q2x / q2z) ** 2 + (ys - q2y / q2z) ** 2)
+            cost = jnp.minimum(err, GEOM_COST_MAX)
+            cost_ref[_v, c] = jnp.where((sd == 0.0) | oob, GEOM_COST_MAX, cost)
+            return 0
+
+        jax.lax.fori_loop(0, num_cands, cand_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slices", "interpret"))
+def geom_volume_cost_allviews(
+    D: jax.Array,  # [V, K, Hp, Wp]
+    planes: jax.Array,  # [C, 4, H, W]
+    consts: jax.Array,  # [V, _NGEOM]
+    num_slices: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """All source views' geometric costs in one kernel: [V, C, H, W]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    V, K = D.shape[0], D.shape[1]
+    C = planes.shape[0]
+    H, W = planes.shape[2], planes.shape[3]
+    kernel = functools.partial(
+        _geom_kernel_mv, num_views=V, num_slices=num_slices, num_cands=C
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((V, C, H, W), jnp.float32),
+        grid=(H // TILE_H, W // TILE_W),
+        in_specs=[
+            pl.BlockSpec((V, _NGEOM), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (C, 4, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (V, K, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (V, C, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+            memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(consts, planes, D)

@@ -97,10 +97,14 @@ def checkerboard_candidates(
             [sampling.shift2d(costs, int(dx), int(dy), INF) for dx, dy in offs]
         )  # [C, H, W]
         idx = jnp.argmin(shifted, axis=0)  # [H, W]
-        dx_t = jnp.asarray(offs[:, 0])
-        dy_t = jnp.asarray(offs[:, 1])
-        cand_x.append(x + jnp.take(dx_t, idx))
-        cand_y.append(y + jnp.take(dy_t, idx))
+        # tiny-table lookups as select loops (cheaper than TPU gather)
+        dx_sel = jnp.zeros_like(idx)
+        dy_sel = jnp.zeros_like(idx)
+        for o, (dx0, dy0) in enumerate(offs):
+            dx_sel = jnp.where(idx == o, int(dx0), dx_sel)
+            dy_sel = jnp.where(idx == o, int(dy0), dy_sel)
+        cand_x.append(x + dx_sel)
+        cand_y.append(y + dy_sel)
         bx, by = int(offs[0, 0]), int(offs[0, 1])
         flags.append(
             ((x + bx) >= 0) & ((x + bx) < W) & ((y + by) >= 0) & ((y + by) < H)
@@ -209,9 +213,23 @@ def propagate_strong_color(
     depth_max = ctx.cams.depth_max[0]
 
     cand_x, cand_y, flags = checkerboard_candidates(costs)
-    cand_planes = jax.vmap(lambda cx, cy: sampling.gather_grid(planes, cx, cy))(
-        cand_x, cand_y
-    )  # [8, H, W, 4]
+    # candidate planes via select-over-static-shifts (XLA's general gather
+    # lowering is ~50 cycles/element on TPU, PERF_NOTES.md; each region has
+    # <= 11 static strip offsets, so shifted selects are strictly cheaper)
+    x_i = ctx.x.astype(jnp.int32)
+    y_i = ctx.y.astype(jnp.int32)
+    cand_list = []
+    for r_idx, offs in enumerate(_REGIONS):
+        dxs = cand_x[r_idx] - x_i  # [H, W] in the region's offset set
+        dys = cand_y[r_idx] - y_i
+        acc = jnp.zeros_like(planes)
+        for dx, dy in offs:
+            hit = (dxs == int(dx)) & (dys == int(dy))
+            acc = jnp.where(
+                hit[..., None], sampling.shift2d(planes, int(dx), int(dy), 0.0), acc
+            )
+        cand_list.append(acc)
+    cand_planes = jnp.stack(cand_list)  # [8, H, W, 4]
 
     # all 8 candidate regions in one fused batch (plane batch dims broadcast
     # through the NCC evaluator): [V, 8, H, W] -> [8, V, H, W]
@@ -237,12 +255,9 @@ def propagate_strong_color(
     cost_now = _weighted(cost_vec_now, weights, weight_norm)  # [H, W]
     cost_pre = cost_now  # reference: costs[center] = cost_now (APD.cu:1295)
 
-    take = lambda a: jnp.take_along_axis(a, min_idx[None], axis=0)[0]
-    best_flag = take(flags)
-    best_cost = take(final_costs)
-    best_plane = jnp.take_along_axis(
-        cand_planes, min_idx[None, ..., None], axis=0
-    )[0]  # [H, W, 4]
+    best_flag = sampling.select_index(flags, min_idx)
+    best_cost = sampling.select_index(final_costs, min_idx)
+    best_plane = sampling.select_index(cand_planes, min_idx)  # [H, W, 4]
     depth_before = geometry.depth_from_plane(ctx.cams.K[0], best_plane, ctx.x, ctx.y)
     adopt = (
         best_flag
@@ -255,30 +270,30 @@ def propagate_strong_color(
     sel_now = jnp.where(adopt[None], temp_sel, selected)
 
     # --- refinement: 5 perturbed combos (APD.cu:837-890) ---
+    # The reference's sequential accept-if-better chain against a running
+    # best is equivalent to an argmin over {current} U {valid combos}
+    # (first minimum wins); one batched C=5 evaluation replaces 5
+    # sequential ones.
     cur_depth = geometry.depth_from_plane(ctx.cams.K[0], plane_now, ctx.x, ctx.y)
     depths5, normals5 = hypotheses.refinement_combos(
         k_ref, ctx.cams.K[0], ctx.x, ctx.y, ctx.dirs,
         plane_now[..., :3], cur_depth, depth_min, depth_max,
     )
-
-    def refine_body(carry, i):
-        plane_c, cost_c = carry
-        n_i = normals5[i]
-        d_i = depths5[i]
-        w_i = geometry.dist_to_origin(ctx.cams.K[0], ctx.x, ctx.y, d_i, n_i)
-        plane_i = jnp.concatenate([n_i, w_i[..., None]], axis=-1)
-        cv = ncc.cost_vector(ctx, plane_i, r, inc)
-        c_i = _weighted(cv, weights, weight_norm)
-        d_chk = geometry.depth_from_plane(ctx.cams.K[0], plane_i, ctx.x, ctx.y)
-        ok = (d_chk >= depth_min) & (d_chk <= depth_max) & (c_i < cost_c)
-        return (
-            jnp.where(ok[..., None], plane_i, plane_c),
-            jnp.where(ok, c_i, cost_c),
-        ), None
-
-    (plane_now, cost_now), _ = jax.lax.scan(
-        refine_body, (plane_now, cost_now), jnp.arange(5)
-    )
+    w5 = geometry.dist_to_origin(
+        ctx.cams.K[0], ctx.x, ctx.y, depths5, normals5
+    )  # [5, H, W]
+    planes5 = jnp.concatenate([normals5, w5[..., None]], axis=-1)  # [5, H, W, 4]
+    cv5 = ncc.cost_vector(ctx, planes5, r, inc)  # [V, 5, H, W]
+    c5 = jnp.sum(weights[:, None] * cv5, axis=0) / jnp.maximum(
+        weight_norm[None], 1e-30
+    )  # [5, H, W]
+    d_chk = geometry.depth_from_plane(ctx.cams.K[0], planes5, ctx.x, ctx.y)
+    c5 = jnp.where((d_chk >= depth_min) & (d_chk <= depth_max), c5, jnp.inf)
+    all_costs = jnp.concatenate([cost_now[None], c5], axis=0)  # [6, H, W]
+    best_i = jnp.argmin(all_costs, axis=0)
+    cost_now = sampling.select_index(all_costs, best_i)
+    all_planes = jnp.concatenate([plane_now[None], planes5], axis=0)
+    plane_now = sampling.select_index(all_planes, best_i)
 
     # --- acceptance by run state (APD.cu:1311-1320) ---
     if cfg.state == RunState.REFINE_INIT:

@@ -403,7 +403,14 @@ def deformed_cost_vector(
     8 candidate planes per weak pixel): all (batch, anchor) patch NCCs are
     evaluated in one fused batched gather per view — the TPU-native layout
     of the reference's per-thread anchor loop (APD.cu:452-513).
+
+    When the context carries precomputed cost volumes, every patch term is
+    a 2-gather k-interpolated lookup instead (ops/cost_volume.py).
     """
+    if ctx.volumes is not None and getattr(ctx.volumes, "C36", None) is not None:
+        return _deformed_cost_vector_volume(
+            ctx, weak_xy, plane, anchors, selected_grid, cfg
+        )
     wx = weak_xy[..., 0].astype(jnp.float32)
     wy = weak_xy[..., 1].astype(jnp.float32)
     H, W = ctx.height, ctx.width
@@ -447,6 +454,48 @@ def deformed_cost_vector(
     costs = jax.lax.map(per_view, jnp.arange(ctx.num_views))  # [V, ..., N]
     shape = (ctx.num_views,) + (1,) * (costs.ndim - 1)
     return jnp.where(ctx.src_valid.reshape(shape), costs, COST_MAX)
+
+
+def _deformed_cost_vector_volume(
+    ctx: CostContext,
+    weak_xy: jax.Array,
+    plane: jax.Array,
+    anchors: AnchorData,
+    selected_grid: jax.Array,
+    cfg: PassConfig,
+) -> jax.Array:
+    """Deformed NCC via precomputed cost volumes: center term from C36 at
+    the weak pixel, anchor terms from C9 at each anchor, all indexed by the
+    candidate plane's depth at the respective position. Keeps the
+    reference's include/penalty policy (APD.cu:438-521)."""
+    wx = weak_xy[..., 0]
+    wy = weak_xy[..., 1]
+    a = anchors.coords[:, 1:]  # [N, 8, 2]
+    valid = a[..., 0] >= 0
+
+    center, _ = ncc.point_cost_volume(ctx, plane, wx, wy, "C36")  # [V, ..., N]
+    plane_b = plane[..., None, :]  # [..., N, 1, 4]
+    a_cost, a_oob = ncc.point_cost_volume(
+        ctx, plane_b, a[..., 0], a[..., 1], "C9"
+    )  # [V, ..., N, 8]
+
+    V = ctx.num_views
+    sel_at_anchor = sampling.gather_grid(
+        jnp.moveaxis(selected_grid, 0, -1), a[..., 0], a[..., 1]
+    )  # [N, 8, V]
+    sel_va = jnp.moveaxis(sel_at_anchor, -1, 0)  # [V, N, 8]
+    extra = a_cost.ndim - sel_va.ndim
+    sel_b = sel_va.reshape(sel_va.shape[:1] + (1,) * extra + sel_va.shape[1:])
+    include = valid & (~a_oob | sel_b)
+    value = jnp.where(a_oob, COST_MAX, a_cost)
+    costs_a = jnp.where(include, value, 0.0)
+    cnt = jnp.sum(include, axis=-1).astype(jnp.float32)  # [V, ..., N]
+    strong_cost = jnp.minimum(
+        jnp.sum(costs_a, axis=-1) / jnp.maximum(cnt, 1.0), COST_MAX
+    )
+    total = jnp.where(cnt > 0, 0.25 * center + 0.75 * strong_cost, center)
+    shape = (V,) + (1,) * (total.ndim - 1)
+    return jnp.where(ctx.src_valid.reshape(shape), total, COST_MAX)
 
 
 def ransac_fit_planes(
@@ -624,10 +673,12 @@ def propagate_weak(
 
     # --- weak refinement (APD.cu:892-980) ---
     def eval_plane(plane):
+        """Weighted deformed cost; supports plane batch dims [..., N, 4]."""
         cv = deformed_cost_vector(ctx, weak_xy, plane, anchors, selected_grid, cfg)
         if cfg.geom_consistency:
             cv = cv + cfg.geom_factor * ncc.geom_cost_vector(ctx, plane, xs=wx, ys=wy)
-        return jnp.sum(weights * cv, axis=0) / jnp.maximum(weight_norm, 1e-30)
+        w_b = weights.reshape((weights.shape[0],) + (1,) * (cv.ndim - 2) + (weights.shape[1],))
+        return jnp.sum(w_b * cv, axis=0) / jnp.maximum(weight_norm, 1e-30)
 
     # the fit plane is tested first; if it is the zero plane, the reference
     # returns before the random refinement (APD.cu:910-914)
@@ -643,34 +694,28 @@ def propagate_weak(
     plane_now = jnp.where(fit_ok[:, None], fit_planes, plane_now)
     cost_now = jnp.where(fit_ok, fit_cost, cost_now)
 
+    # batched equivalent of the reference's sequential accept-if-better
+    # chain (argmin over {current} U {valid combos}; first minimum wins)
     cur_depth = geometry.depth_from_plane(ctx.cams.K[0], plane_now, wx, wy)
     depths5, normals5 = hypotheses.refinement_combos(
         k_ref, ctx.cams.K[0], wx, wy, dirs_c,
         plane_now[..., :3], cur_depth, depth_min, depth_max,
     )
-
-    def refine_body(carry, i):
-        plane_c, cost_c = carry
-        n_i = normals5[i]
-        d_i = depths5[i]
-        w_i = geometry.dist_to_origin(ctx.cams.K[0], wx, wy, d_i, n_i)
-        plane_i = jnp.concatenate([n_i, w_i[..., None]], axis=-1)
-        c_i = eval_plane(plane_i)
-        d_chk = geometry.depth_from_plane(ctx.cams.K[0], plane_i, wx, wy)
-        ok = (
-            ~fit_zero  # reference returns early on zero fit plane
-            & (d_chk >= depth_min)
-            & (d_chk <= depth_max)
-            & (c_i < cost_c)
-        )
-        return (
-            jnp.where(ok[:, None], plane_i, plane_c),
-            jnp.where(ok, c_i, cost_c),
-        ), None
-
-    (plane_now, cost_now), _ = jax.lax.scan(
-        refine_body, (plane_now, cost_now), jnp.arange(5)
+    w5 = geometry.dist_to_origin(ctx.cams.K[0], wx, wy, depths5, normals5)
+    planes5 = jnp.concatenate([normals5, w5[..., None]], axis=-1)  # [5, N, 4]
+    c5 = eval_plane(planes5)  # [5, N]
+    d_chk = geometry.depth_from_plane(ctx.cams.K[0], planes5, wx, wy)
+    ok5 = (
+        ~fit_zero[None]  # reference returns early on zero fit plane
+        & (d_chk >= depth_min)
+        & (d_chk <= depth_max)
     )
+    c5 = jnp.where(ok5, c5, jnp.inf)
+    all_costs = jnp.concatenate([cost_now[None], c5], axis=0)  # [6, N]
+    best_i = jnp.argmin(all_costs, axis=0)
+    cost_now = sampling.select_index(all_costs, best_i)
+    all_planes = jnp.concatenate([plane_now[None], planes5], axis=0)
+    plane_now = sampling.select_index(all_planes, best_i)
 
     # --- acceptance by run state (APD.cu:1488-1497) ---
     if cfg.state == RunState.REFINE_INIT:

@@ -24,9 +24,10 @@ import time
 
 import numpy as np
 
-# Round-1 recorded value (depth-maps/sec, one chip, this exact config).
-# Update when the kernel improves to keep vs_baseline meaningful.
-BENCH_BASELINE = None  # set after first measurement on real hardware
+# Round-1 first honest measurement (depth-maps/sec, one chip, this exact
+# config) — the pre-volume-architecture XLA-gather implementation.
+# vs_baseline therefore tracks the speedup over the naive TPU port.
+BENCH_BASELINE = 0.0227
 
 
 def main() -> None:
