@@ -32,6 +32,12 @@ def main() -> None:
     )
     ap.add_argument("--max-rounds", type=int, default=None, help="cap pyramid rounds")
     ap.add_argument(
+        "--no-volumes",
+        action="store_true",
+        help="disable the Pallas plane-sweep-volume fast path (sequential "
+        "runner only; default: on for TPU, off for CPU)",
+    )
+    ap.add_argument(
         "--batched",
         action="store_true",
         help="run all views of each pass as one jitted batched program, "
@@ -85,6 +91,7 @@ def main() -> None:
             show_medium_result=args.show_medium_result,
             keep_intermediates=not args.delete_intermediates,
             max_rounds=args.max_rounds,
+            use_volumes=False if args.no_volumes else None,
         )
 
 

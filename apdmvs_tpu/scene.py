@@ -213,6 +213,8 @@ def process_problem(
     key: jax.Array,
     num_views_pad: Optional[int] = None,
     show_medium_result: bool = False,
+    use_volumes: bool = False,
+    num_slices: int = 160,
 ) -> float:
     """One (view, pass): the reference's ProcessProblem (main.cpp:91-138).
 
@@ -289,6 +291,19 @@ def process_problem(
         else:
             spec = dataclasses.replace(spec, geom_consistency=False)
 
+    # plane-sweep volumes (Pallas fast path; PERF_NOTES.md). Rebuilt per
+    # (problem, pass): the image volumes depend only on (images, scale) but
+    # caching them across the pass-major schedule would need N x ~1 GB.
+    volumes = None
+    if use_volumes:
+        from apdmvs_tpu import ncc
+
+        volumes = ncc.build_volume_set(
+            jnp.asarray(imgs), cams, dmin, dmax, num_slices=num_slices,
+            depth_maps=depth_maps,
+            weak_cost_volumes=spec.use_APD,
+        )
+
     cfg = PassConfig.from_spec(spec)
     out = pipeline.patchmatch_pass(
         jnp.asarray(imgs),
@@ -300,6 +315,7 @@ def process_problem(
         jnp.asarray(spec.ransac_threshold, jnp.float32),
         depth_maps=depth_maps,
         weak_capacity=weak_capacity,
+        volumes=volumes,
     )
     out = pipeline.clamp_outputs(out, dmin, dmax)
 
@@ -628,6 +644,7 @@ def run_scene(
     show_medium_result: bool = False,
     keep_intermediates: bool = True,
     max_rounds: Optional[int] = None,
+    use_volumes: Optional[bool] = None,
     verbose: bool = True,
 ) -> str:
     """Full reconstruction: the reference `main()` (main.cpp:140-233).
@@ -649,6 +666,11 @@ def run_scene(
     cache = SceneCache(dense_folder)
     V_pad = max(1 + len(p.src_image_ids) for p in problems)
     root_key = jax.random.PRNGKey(seed)
+    if use_volumes is None:
+        # the Pallas volume path is the TPU production path; CPU runs use
+        # the XLA reference implementation (volumes would hit interpret
+        # mode, which is slower than the direct path)
+        use_volumes = jax.default_backend() not in ("cpu",)
 
     for spec in schedule:
         for problem in problems:
@@ -658,6 +680,7 @@ def run_scene(
             dt = process_problem(
                 cache, problem, spec, full_size, key,
                 num_views_pad=V_pad, show_medium_result=show_medium_result,
+                use_volumes=use_volumes,
             )
             if verbose:
                 print(
