@@ -32,6 +32,13 @@ def main() -> None:
     )
     ap.add_argument("--max-rounds", type=int, default=None, help="cap pyramid rounds")
     ap.add_argument(
+        "--camera-model",
+        choices=["eth", "dtu"],
+        default="eth",
+        help="camera-file depth-range convention; dtu derives depth_max = "
+        "interval * 192 + depth_min (reference: APD.cpp:84-89)",
+    )
+    ap.add_argument(
         "--no-volumes",
         action="store_true",
         help="disable the Pallas plane-sweep-volume fast path (sequential "
@@ -82,6 +89,7 @@ def main() -> None:
             max_rounds=args.max_rounds,
             n_view_shards=args.view_shards,
             n_space_shards=args.space_shards,
+            camera_model=args.camera_model,
         )
     else:
         scene.run_scene(
@@ -92,6 +100,7 @@ def main() -> None:
             keep_intermediates=not args.delete_intermediates,
             max_rounds=args.max_rounds,
             use_volumes=False if args.no_volumes else None,
+            camera_model=args.camera_model,
         )
 
 

@@ -109,8 +109,12 @@ class SceneCache:
     per-scale resized image stacks, and the freshly-written pass outputs
     (in-memory mirror of the reference's on-disk inter-pass state)."""
 
-    def __init__(self, dense_folder: str):
+    def __init__(self, dense_folder: str, camera_model: str = "eth"):
         self.dense_folder = dense_folder
+        # 'eth' reads depth_max from the file; 'dtu' derives it as
+        # interval * 192 + depth_min (the reference's commented-out DTU
+        # branch, APD.cpp:84-89)
+        self.camera_model = camera_model
         self._gray: Dict[int, np.ndarray] = {}
         self._cam: Dict[int, dict] = {}
         self._scaled: Dict[Tuple[int, int], np.ndarray] = {}
@@ -130,7 +134,12 @@ class SceneCache:
             path = os.path.join(
                 self.dense_folder, "cams", formats.to_format_index(image_id) + "_cam.txt"
             )
-            self._cam[image_id] = formats.read_camera(path)
+            reader = (
+                formats.read_camera_dtu
+                if self.camera_model == "dtu"
+                else formats.read_camera
+            )
+            self._cam[image_id] = reader(path)
         return self._cam[image_id]
 
     def gray_scaled(self, image_id: int, new_w: int, new_h: int) -> np.ndarray:
@@ -362,6 +371,7 @@ def run_scene_batched(
     max_rounds: Optional[int] = None,
     n_view_shards: Optional[int] = None,
     n_space_shards: int = 1,
+    camera_model: str = "eth",
     verbose: bool = True,
 ) -> str:
     """Batched/sharded reconstruction: all reference views of a pass run as
@@ -387,7 +397,7 @@ def run_scene_batched(
     if max_rounds is not None:
         round_num = min(round_num, max_rounds)
     schedule = build_schedule(round_num)
-    cache = SceneCache(dense_folder)
+    cache = SceneCache(dense_folder, camera_model=camera_model)
     Np = len(problems)
     V = max(1 + len(p.src_image_ids) for p in problems)
     id_to_pos = {p.ref_image_id: i for i, p in enumerate(problems)}
@@ -645,6 +655,7 @@ def run_scene(
     keep_intermediates: bool = True,
     max_rounds: Optional[int] = None,
     use_volumes: Optional[bool] = None,
+    camera_model: str = "eth",
     verbose: bool = True,
 ) -> str:
     """Full reconstruction: the reference `main()` (main.cpp:140-233).
@@ -663,7 +674,7 @@ def run_scene(
     if verbose:
         print(f"Round num: {round_num}")
     schedule = build_schedule(round_num)
-    cache = SceneCache(dense_folder)
+    cache = SceneCache(dense_folder, camera_model=camera_model)
     V_pad = max(1 + len(p.src_image_ids) for p in problems)
     root_key = jax.random.PRNGKey(seed)
     if use_volumes is None:
