@@ -225,11 +225,20 @@ def build_volume_set(
     if weak_cost_volumes:
         from apdmvs_tpu.ops import cost_volume as cv
 
+        # view 0 (the ref itself) is never fetched — skip the build
         C36 = jnp.stack(
-            [cv.build_cost_volume(E, ref_pad, radius=5, increment=2) for E in Es]
+            [
+                jnp.zeros_like(Es[0]) if v == 0 else
+                cv.build_cost_volume(Es[v], ref_pad, radius=5, increment=2)
+                for v in range(V)
+            ]
         )
         C9 = jnp.stack(
-            [cv.build_cost_volume(E, ref_pad, radius=5, increment=5) for E in Es]
+            [
+                jnp.zeros_like(Es[0]) if v == 0 else
+                cv.build_cost_volume(Es[v], ref_pad, radius=5, increment=5)
+                for v in range(V)
+            ]
         )
     return VolumeSet(
         E=jnp.stack(Es),

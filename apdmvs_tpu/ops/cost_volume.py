@@ -50,43 +50,43 @@ def build_cost_volume(
     the volume's spatial padding keep all real lookups interior).
     """
     K, PH, PW = E_pad.shape
-    offs = _offsets(radius, increment)
-    S = float(len(offs))
+    vals = list(range(-radius, radius + 1, increment))
+    S = float(len(vals) ** 2)
     R = radius
 
+    def sep_sum(a):
+        """Separable patch sum over the rectangular offset grid:
+        36 shifted adds become 6 + 6 (sum along x, then along y)."""
+        ax = jnp.zeros_like(a)
+        for dx in vals:
+            ax = ax.at[..., R : PW - R].add(a[..., R + dx : PW - R + dx])
+        out = jnp.zeros_like(a)
+        for dy in vals:
+            out = out.at[..., R : PH - R, :].add(
+                ax[..., R + dy : PH - R + dy, :]
+            )
+        return out
+
     ref = jnp.asarray(ref_pad, jnp.float32)
-    r_s = jnp.zeros((PH, PW), jnp.float32)
-    r_ss = jnp.zeros((PH, PW), jnp.float32)
-    interior = (slice(R, PH - R), slice(R, PW - R))
-    for (dx, dy) in offs:
-        rv = ref[R + dy : PH - R + dy, R + dx : PW - R + dx]
-        r_s = r_s.at[interior].add(rv)
-        r_ss = r_ss.at[interior].add(rv * rv)
     inv = 1.0 / S
-    mr = r_s * inv
-    var_r = r_ss * inv - mr * mr
+    mr = sep_sum(ref) * inv
+    var_r = sep_sum(ref * ref) * inv - mr * mr
 
     Kc = (K + chunk - 1) // chunk
 
     def per_chunk(ci):
         e = jax.lax.dynamic_slice_in_dim(E_pad, ci * chunk, chunk, axis=0)
         e = e.astype(jnp.float32)
-        s = jnp.zeros((chunk, PH, PW), jnp.float32)
-        ss = jnp.zeros((chunk, PH, PW), jnp.float32)
-        rs = jnp.zeros((chunk, PH, PW), jnp.float32)
-        cint = (slice(None),) + interior
-        for (dx, dy) in offs:
-            ev = e[:, R + dy : PH - R + dy, R + dx : PW - R + dx]
-            rv = ref[R + dy : PH - R + dy, R + dx : PW - R + dx]
-            s = s.at[cint].add(ev)
-            ss = ss.at[cint].add(ev * ev)
-            rs = rs.at[cint].add(rv * ev)
-        ms = s * inv
-        var_s = ss * inv - ms * ms
-        cov = rs * inv - mr * ms
-        cost = 1.0 - cov * jax.lax.rsqrt(jnp.maximum(var_r * var_s, 1e-30))
+        ms = sep_sum(e) * inv
+        var_s = sep_sum(e * e) * inv - ms * ms
+        cov = sep_sum(ref[None] * e) * inv - mr[None] * ms
+        cost = 1.0 - cov * jax.lax.rsqrt(
+            jnp.maximum(var_r[None] * var_s, 1e-30)
+        )
         cost = jnp.clip(cost, 0.0, COST_MAX)
-        cost = jnp.where((var_r < MIN_VAR) | (var_s < MIN_VAR), COST_MAX, cost)
+        cost = jnp.where(
+            (var_r[None] < MIN_VAR) | (var_s < MIN_VAR), COST_MAX, cost
+        )
         return cost.astype(jnp.bfloat16)
 
     out = jax.lax.map(per_chunk, jnp.arange(Kc))  # [Kc, chunk, PH, PW]
