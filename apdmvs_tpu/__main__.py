@@ -32,11 +32,29 @@ def main() -> None:
     )
     ap.add_argument("--max-rounds", type=int, default=None, help="cap pyramid rounds")
     ap.add_argument(
+        "--min-rounds", type=int, default=None,
+        help="force at least this many coarse-to-fine rounds (the reference "
+        "only adds rounds above 1000 px, main.cpp:72-88; this exercises the "
+        "full REFINE_INIT/APD/annealing schedule on small scenes)",
+    )
+    ap.add_argument(
+        "--allow-missing-prior",
+        action="store_true",
+        help="re-initialize a view from scratch when its prior state files "
+        "are missing mid-schedule instead of failing loudly (the reference "
+        "exits, APD.cpp:514-518)",
+    )
+    ap.add_argument(
         "--camera-model",
         choices=["eth", "dtu"],
         default="eth",
         help="camera-file depth-range convention; dtu derives depth_max = "
         "interval * 192 + depth_min (reference: APD.cpp:84-89)",
+    )
+    ap.add_argument(
+        "--volume-cache-gb", type=float, default=6.0,
+        help="HBM byte budget for the per-(problem, scale) image-volume "
+        "cache (amortizes builds across each round's 4 passes)",
     )
     ap.add_argument(
         "--no-volumes",
@@ -87,9 +105,11 @@ def main() -> None:
             fusion_variant=args.fusion,
             keep_intermediates=not args.delete_intermediates,
             max_rounds=args.max_rounds,
+            min_rounds=args.min_rounds,
             n_view_shards=args.view_shards,
             n_space_shards=args.space_shards,
             camera_model=args.camera_model,
+            show_medium_result=args.show_medium_result,
         )
     else:
         scene.run_scene(
@@ -99,8 +119,11 @@ def main() -> None:
             show_medium_result=args.show_medium_result,
             keep_intermediates=not args.delete_intermediates,
             max_rounds=args.max_rounds,
+            min_rounds=args.min_rounds,
             use_volumes=False if args.no_volumes else None,
             camera_model=args.camera_model,
+            allow_missing_prior=args.allow_missing_prior,
+            volume_cache_gb=args.volume_cache_gb,
         )
 
 

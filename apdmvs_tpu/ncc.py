@@ -139,22 +139,23 @@ def _ceil_to(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-def build_volume_set(
+def build_image_volume_set(
     images: jax.Array,  # [V, H, W] f32
     cams: Cameras,
     depth_min,
     depth_max,
     num_slices: int = 160,
-    depth_maps: Optional[jax.Array] = None,  # [V, H, W] for geom passes
     weak_cost_volumes: bool = True,
 ) -> VolumeSet:
-    """Build the per-source-view plane-sweep volumes (Pallas builder).
+    """Build the image-dependent plane-sweep volumes (Pallas builder).
 
-    The image volumes depend only on (images, cameras, depth grid) — NOT
-    on hypotheses or iteration — so callers build once per (problem,
-    scale) and reuse the set across all passes and sweeps. Depth volumes
-    (geom passes) depend on the src views' current estimates and are
-    rebuilt per pass.
+    These (E, ref_pad, C36/C9) depend only on (images, cameras, depth
+    grid) — NOT on hypotheses, iteration, or pass — so the scene runner
+    caches them device-resident per (problem, scale) and reuses the set
+    across the round's 4 passes (scene.SceneCache.image_volumes; measured
+    1.56 s/build at 640x480x5v, scripts/measure_build.py). Depth volumes
+    for geometric-consistency passes depend on the src views' current
+    estimates and are attached per pass via ``add_depth_volumes``.
     """
     from apdmvs_tpu.ops import ncc_volume, volume as vol
 
@@ -163,12 +164,8 @@ def build_volume_set(
     Wp = _ceil_to(W, 128)
     wc = geometry.warp_constants(cams)
     u_min, du = vol.inv_depth_grid(depth_min, depth_max, num_slices)
-    K_ref = cams.K[0]
-    R_ref = cams.R[0]
     Es = []
     consts = []
-    Ds = [] if depth_maps is not None else None
-    gconsts = [] if depth_maps is not None else None
     for v in range(V):
         if v == 0:
             Es.append(
@@ -178,9 +175,6 @@ def build_volume_set(
                 )
             )
             consts.append(jnp.zeros((1, 20), jnp.float32))
-            if Ds is not None:
-                Ds.append(jnp.zeros((num_slices, Hp, Wp), jnp.float32))
-                gconsts.append(jnp.zeros((1, ncc_volume._NGEOM), jnp.float32))
             continue
         Es.append(
             vol.build_volume_pallas(
@@ -190,29 +184,6 @@ def build_volume_set(
             )
         )
         consts.append(ncc_volume.pack_consts(cams.K[0], wc.M[v], wc.b[v], u_min, du, W, H))
-        if Ds is not None:
-            Ds.append(
-                vol.build_volume_pallas(
-                    depth_maps[v], wc.M[v], wc.b[v], cams.K[0], Hp, Wp,
-                    u_min, du, num_slices, pad_y=0, pad_x=0,
-                    dtype=jnp.float32, trunc=True,
-                )
-            )
-            # A = K_r R_r R_s^T K_s^{-1}; t' = K_r R_r (c_s - c_r)
-            A = geometry.mat3_mat3(
-                geometry.mat3_mat3(
-                    geometry.mat3_mat3(K_ref, R_ref), jnp.swapaxes(cams.R[v], -1, -2)
-                ),
-                geometry.k_inverse_zero_skew(cams.K[v]),
-            )
-            t2 = geometry.mat3_vec(
-                geometry.mat3_mat3(K_ref, R_ref), cams.c[v] - cams.c[0]
-            )
-            gconsts.append(
-                ncc_volume.pack_geom_consts(
-                    cams.K[0], wc.M[v], wc.b[v], A, t2, u_min, du, W, H
-                )
-            )
     ref_pad = jnp.pad(
         jnp.asarray(images[0], jnp.float32),
         (
@@ -244,11 +215,83 @@ def build_volume_set(
         E=jnp.stack(Es),
         consts=jnp.stack(consts),
         ref_pad=ref_pad,
-        D=None if Ds is None else jnp.stack(Ds),
-        geom_consts=None if gconsts is None else jnp.stack(gconsts),
         C36=C36,
         C9=C9,
     )
+
+
+def add_depth_volumes(
+    vs: VolumeSet,
+    depth_maps: jax.Array,  # [V, H, W] source-view depth estimates
+    cams: Cameras,
+    depth_min,
+    depth_max,
+) -> VolumeSet:
+    """Attach the per-pass depth volumes (geometric consistency) to a cached
+    image volume set. Rebuilt every geom pass — the src views' depth
+    estimates change each pass (reference re-reads depths.dmb per pass,
+    APD.cpp:492-510)."""
+    from apdmvs_tpu.ops import ncc_volume, volume as vol
+
+    V = depth_maps.shape[0]
+    num_slices = vs.num_slices
+    Hp = vs.ref_pad.shape[0] - 2 * ncc_volume.PAD_Y
+    Wp = vs.ref_pad.shape[1] - 2 * ncc_volume.PAD_X
+    H, W = depth_maps.shape[1], depth_maps.shape[2]
+    wc = geometry.warp_constants(cams)
+    u_min, du = vol.inv_depth_grid(depth_min, depth_max, num_slices)
+    K_ref = cams.K[0]
+    R_ref = cams.R[0]
+    Ds = []
+    gconsts = []
+    for v in range(V):
+        if v == 0:
+            Ds.append(jnp.zeros((num_slices, Hp, Wp), jnp.float32))
+            gconsts.append(jnp.zeros((1, ncc_volume._NGEOM), jnp.float32))
+            continue
+        Ds.append(
+            vol.build_volume_pallas(
+                depth_maps[v], wc.M[v], wc.b[v], cams.K[0], Hp, Wp,
+                u_min, du, num_slices, pad_y=0, pad_x=0,
+                dtype=jnp.float32, trunc=True,
+            )
+        )
+        # A = K_r R_r R_s^T K_s^{-1}; t' = K_r R_r (c_s - c_r)
+        A = geometry.mat3_mat3(
+            geometry.mat3_mat3(
+                geometry.mat3_mat3(K_ref, R_ref), jnp.swapaxes(cams.R[v], -1, -2)
+            ),
+            geometry.k_inverse_zero_skew(cams.K[v]),
+        )
+        t2 = geometry.mat3_vec(
+            geometry.mat3_mat3(K_ref, R_ref), cams.c[v] - cams.c[0]
+        )
+        gconsts.append(
+            ncc_volume.pack_geom_consts(
+                cams.K[0], wc.M[v], wc.b[v], A, t2, u_min, du, W, H
+            )
+        )
+    return vs._replace(D=jnp.stack(Ds), geom_consts=jnp.stack(gconsts))
+
+
+def build_volume_set(
+    images: jax.Array,  # [V, H, W] f32
+    cams: Cameras,
+    depth_min,
+    depth_max,
+    num_slices: int = 160,
+    depth_maps: Optional[jax.Array] = None,  # [V, H, W] for geom passes
+    weak_cost_volumes: bool = True,
+) -> VolumeSet:
+    """One-shot build of image (+ optional depth) volumes — the uncached
+    path; see build_image_volume_set for the amortization contract."""
+    vs = build_image_volume_set(
+        images, cams, depth_min, depth_max, num_slices=num_slices,
+        weak_cost_volumes=weak_cost_volumes,
+    )
+    if depth_maps is not None:
+        vs = add_depth_volumes(vs, depth_maps, cams, depth_min, depth_max)
+    return vs
 
 
 def _cost_vector_volume(

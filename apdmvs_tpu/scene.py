@@ -104,12 +104,27 @@ def _bucket_capacity(count: int, total: int) -> int:
     return min(cap, total)
 
 
+@dataclasses.dataclass(frozen=True)
+class ProblemStats:
+    """Per-(view, pass) outcome: wall-clock seconds and the fraction of
+    pixels classified WEAK by this pass's DepthToWeak (the reference logs
+    the weak ratio at APD.cpp:538)."""
+
+    seconds: float
+    weak_pct: float
+
+
 class SceneCache:
     """Host-side caches: full-res grayscale images + cameras per image id,
     per-scale resized image stacks, and the freshly-written pass outputs
     (in-memory mirror of the reference's on-disk inter-pass state)."""
 
-    def __init__(self, dense_folder: str, camera_model: str = "eth"):
+    def __init__(
+        self,
+        dense_folder: str,
+        camera_model: str = "eth",
+        volume_cache_bytes: float = 6e9,
+    ):
         self.dense_folder = dense_folder
         # 'eth' reads depth_max from the file; 'dtu' derives it as
         # interval * 192 + depth_min (the reference's commented-out DTU
@@ -120,6 +135,48 @@ class SceneCache:
         self._scaled: Dict[Tuple[int, int], np.ndarray] = {}
         # in-memory pass outputs: id -> dict with depth/normal/weak/selected
         self.outputs: Dict[int, Dict[str, np.ndarray]] = {}
+        # device-resident image volume sets, keyed (image_id, width): the
+        # image volumes depend only on (problem, scale), so each set is
+        # reused across the round's 4 passes. Host staging is not an
+        # option (device<->host of one VGA set costs minutes over the
+        # axon tunnel, scripts/measure_build.py), so the cache is bounded
+        # by an HBM byte budget. Insertion is first-come-pinned (no
+        # eviction within a scale): under the pass-major round-robin
+        # access pattern, pinning the first problems that fit is the
+        # Belady-optimal policy (LRU would evict every entry just before
+        # its reuse). Scale changes clear the cache (old-scale sets are
+        # never reused once the pyramid advances).
+        self.volume_cache_bytes = float(volume_cache_bytes)
+        self._volumes: Dict[Tuple[int, int], object] = {}
+        self._volumes_width: Optional[int] = None
+        self._volumes_bytes: int = 0
+        self.volume_stats = {"hits": 0, "misses": 0, "uncached": 0}
+
+    def image_volumes(self, image_id: int, width: int, builder):
+        """Cached per-(problem, scale) image volume set; ``builder()``
+        constructs it on a miss. Returns the (possibly uncached) set."""
+        if self._volumes_width != width:
+            self._volumes.clear()
+            self._volumes_bytes = 0
+            self._volumes_width = width
+        key = (image_id, width)
+        vs = self._volumes.get(key)
+        if vs is not None:
+            self.volume_stats["hits"] += 1
+            return vs
+        vs = builder()
+        nbytes = sum(
+            x.size * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(vs)
+            if hasattr(x, "size")
+        )
+        if self._volumes_bytes + nbytes <= self.volume_cache_bytes:
+            self._volumes[key] = vs
+            self._volumes_bytes += nbytes
+            self.volume_stats["misses"] += 1
+        else:
+            self.volume_stats["uncached"] += 1
+        return vs
 
     def gray(self, image_id: int) -> np.ndarray:
         if image_id not in self._gray:
@@ -156,15 +213,30 @@ def _load_prior(
     num_views: int,
     W: int,
     H: int,
+    missing_ok: bool = False,
 ) -> Optional[pipeline.PassState]:
     """Load the previous pass's outputs for this view (memory first, then
     disk), rescaled to the current pyramid level (reference:
-    APD.cpp:552-581). Returns None if nothing exists yet (FIRST_INIT)."""
+    APD.cpp:552-581).
+
+    Missing state under a non-FIRST pass is an error by default — the
+    reference exits loudly when weak.bin is absent (APD.cpp:514-518), and
+    silently re-initializing would mask data loss as a quality regression
+    in a long sharded run. ``missing_ok=True`` restores the lenient
+    restart-from-scratch behavior (returns None)."""
     out = cache.outputs.get(problem.ref_image_id)
     if out is None:
         depth_path = os.path.join(problem.result_folder, "depths.dmb")
         if not os.path.exists(depth_path):
-            return None
+            if missing_ok:
+                return None
+            raise FileNotFoundError(
+                f"prior state missing for view {problem.ref_image_id:08d} "
+                f"({depth_path}): a non-FIRST_INIT pass requires the previous "
+                "pass's outputs (reference exits here, APD.cpp:514-518). "
+                "Pass allow_missing_prior=True / --allow-missing-prior to "
+                "re-initialize this view from scratch instead."
+            )
         out = {
             "depth": formats.read_bin_mat(depth_path),
             "normal": formats.read_bin_mat(
@@ -224,13 +296,19 @@ def process_problem(
     show_medium_result: bool = False,
     use_volumes: bool = False,
     num_slices: int = 160,
-) -> float:
+    allow_missing_prior: bool = False,
+) -> "ProblemStats":
     """One (view, pass): the reference's ProcessProblem (main.cpp:91-138).
 
     Loads inputs, runs the jitted PatchMatch pass, clamps out-of-range
-    depths, persists the four state files. Returns wall-clock seconds.
+    depths, persists the four state files. Returns per-problem stats
+    (wall-clock seconds, weak percentage).
     """
     t0 = time.time()
+    # capture before any per-problem spec downgrade (weak_capacity == 0,
+    # missing-prior re-init): the cached volume set is shared by all of
+    # this (problem, scale)'s passes and must match the ROUND's APD mode
+    round_use_apd = spec.use_APD
     full_w, full_h = full_size
     W, H = scaled_size(full_w, full_h, spec.scale_size)
 
@@ -271,7 +349,7 @@ def process_problem(
     # ---- prior state ----
     prior = None
     if spec.state != RunState.FIRST_INIT:
-        prior = _load_prior(cache, problem, V, W, H)
+        prior = _load_prior(cache, problem, V, W, H, missing_ok=allow_missing_prior)
     if prior is None:
         prior = pipeline.PassState(
             depth=jnp.zeros((H, W), jnp.float32),
@@ -300,18 +378,28 @@ def process_problem(
         else:
             spec = dataclasses.replace(spec, geom_consistency=False)
 
-    # plane-sweep volumes (Pallas fast path; PERF_NOTES.md). Rebuilt per
-    # (problem, pass): the image volumes depend only on (images, scale) but
-    # caching them across the pass-major schedule would need N x ~1 GB.
+    # plane-sweep volumes (Pallas fast path; PERF_NOTES.md). The image
+    # volumes are cached device-resident per (problem, scale) and reused
+    # across the round's 4 passes; only the depth volumes (src-view
+    # estimates, geom passes) are rebuilt per pass — the amortization
+    # policy of ncc.build_image_volume_set.
     volumes = None
     if use_volumes:
         from apdmvs_tpu import ncc
 
-        volumes = ncc.build_volume_set(
-            jnp.asarray(imgs), cams, dmin, dmax, num_slices=num_slices,
-            depth_maps=depth_maps,
-            weak_cost_volumes=spec.use_APD,
+        volumes = cache.image_volumes(
+            problem.ref_image_id,
+            W,
+            # use_APD is constant within a round (build_schedule) and the
+            # cache never outlives a round (scale changes clear it), so
+            # the C36/C9 build can be skipped for non-APD rounds
+            builder=lambda: ncc.build_image_volume_set(
+                jnp.asarray(imgs), cams, dmin, dmax, num_slices=num_slices,
+                weak_cost_volumes=round_use_apd,
+            ),
         )
+        if depth_maps is not None:
+            volumes = ncc.add_depth_volumes(volumes, depth_maps, cams, dmin, dmax)
 
     cfg = PassConfig.from_spec(spec)
     out = pipeline.patchmatch_pass(
@@ -360,7 +448,8 @@ def process_problem(
             os.path.join(problem.result_folder, f"weak_{tag}.jpg"),
             render.render_weak(weak),
         )
-    return time.time() - t0
+    weak_pct = 100.0 * float(np.mean(weak == PixelState.WEAK))
+    return ProblemStats(seconds=time.time() - t0, weak_pct=weak_pct)
 
 
 def run_scene_batched(
@@ -369,9 +458,11 @@ def run_scene_batched(
     fusion_variant: str = "eth",
     keep_intermediates: bool = True,
     max_rounds: Optional[int] = None,
+    min_rounds: Optional[int] = None,
     n_view_shards: Optional[int] = None,
     n_space_shards: int = 1,
     camera_model: str = "eth",
+    show_medium_result: bool = False,
     verbose: bool = True,
 ) -> str:
     """Batched/sharded reconstruction: all reference views of a pass run as
@@ -394,6 +485,8 @@ def run_scene_batched(
         print(f"There are {len(problems)} problems needed to be processed!")
     full_size = check_images(dense_folder, problems)
     round_num = compute_round_num(*full_size)
+    if min_rounds is not None:
+        round_num = max(round_num, min_rounds)
     if max_rounds is not None:
         round_num = min(round_num, max_rounds)
     schedule = build_schedule(round_num)
@@ -567,12 +660,32 @@ def run_scene_batched(
                 os.path.join(p.result_folder, "selected_views.bin"),
                 pipeline.selected_to_bitmask(sel_h[n]),
             )
+            if show_medium_result:  # debug dumps (main.cpp:127-134)
+                ref_cam = cache.camera(p.ref_image_id)
+                tag = f"{spec.pass_index}"
+                imio.save_image_u8(
+                    os.path.join(p.result_folder, f"depth_{tag}.jpg"),
+                    render.render_depth(
+                        depth_h[n],
+                        float(ref_cam["depth_min"]) * 0.6,
+                        float(ref_cam["depth_max"]) * 1.2,
+                    ),
+                )
+                imio.save_image_u8(
+                    os.path.join(p.result_folder, f"normal_{tag}.jpg"),
+                    render.render_normal(normal_h[n]),
+                )
+                imio.save_image_u8(
+                    os.path.join(p.result_folder, f"weak_{tag}.jpg"),
+                    render.render_weak(ps_h[n]),
+                )
         if verbose:
+            weak_pct = 100.0 * float(np.mean(ps_h[:Np] == PixelState.WEAK))
             print(
                 f"round {spec.round_index} pass {spec.pass_index} "
                 f"({eff.state.name}, scale 1/{spec.scale_size}, "
                 f"{Np} views batched over {n_view_shards}x{n_space_shards} mesh): "
-                f"{(time.time()-t0)*1000:.0f} ms"
+                f"{(time.time()-t0)*1000:.0f} ms, weak {weak_pct:.1f}%"
             )
 
     ply = run_fusion(dense_folder, problems, variant=fusion_variant)
@@ -654,14 +767,21 @@ def run_scene(
     show_medium_result: bool = False,
     keep_intermediates: bool = True,
     max_rounds: Optional[int] = None,
+    min_rounds: Optional[int] = None,
     use_volumes: Optional[bool] = None,
     camera_model: str = "eth",
+    allow_missing_prior: bool = False,
+    volume_cache_gb: float = 6.0,
     verbose: bool = True,
 ) -> str:
     """Full reconstruction: the reference `main()` (main.cpp:140-233).
 
     Multi-scale round scheduler -> per-(view, pass) PatchMatch -> fusion ->
     APD/APD.ply. Returns the PLY path.
+
+    ``min_rounds`` forces extra coarse-to-fine rounds below the reference's
+    1000 px trigger (main.cpp:72-88) so the full REFINE_INIT / APD /
+    annealing schedule can be exercised on small scenes.
     """
     dense_folder = str(dense_folder)
     problems = generate_sample_list(dense_folder)
@@ -669,12 +789,17 @@ def run_scene(
         print(f"There are {len(problems)} problems needed to be processed!")
     full_size = check_images(dense_folder, problems)
     round_num = compute_round_num(*full_size)
+    if min_rounds is not None:
+        round_num = max(round_num, min_rounds)
     if max_rounds is not None:
         round_num = min(round_num, max_rounds)
     if verbose:
         print(f"Round num: {round_num}")
     schedule = build_schedule(round_num)
-    cache = SceneCache(dense_folder, camera_model=camera_model)
+    cache = SceneCache(
+        dense_folder, camera_model=camera_model,
+        volume_cache_bytes=volume_cache_gb * 1e9,
+    )
     V_pad = max(1 + len(p.src_image_ids) for p in problems)
     root_key = jax.random.PRNGKey(seed)
     if use_volumes is None:
@@ -688,16 +813,20 @@ def run_scene(
             key = jax.random.fold_in(
                 jax.random.fold_in(root_key, spec.pass_index), problem.index
             )
-            dt = process_problem(
+            stats = process_problem(
                 cache, problem, spec, full_size, key,
                 num_views_pad=V_pad, show_medium_result=show_medium_result,
                 use_volumes=use_volumes,
+                allow_missing_prior=allow_missing_prior,
             )
             if verbose:
+                # per-pass timing + weak ratio (reference: main.cpp:135-137
+                # "Cost time", APD.cpp:538 weak percentage)
                 print(
                     f"round {spec.round_index} pass {spec.pass_index} "
                     f"view {problem.ref_image_id:08d} ({spec.state.name}, "
-                    f"scale 1/{spec.scale_size}): {dt*1000:.0f} ms"
+                    f"scale 1/{spec.scale_size}): {stats.seconds*1000:.0f} ms, "
+                    f"weak {stats.weak_pct:.1f}%"
                 )
 
     ply = run_fusion(dense_folder, problems, variant=fusion_variant)

@@ -12,11 +12,13 @@ TPU reformulation of the reference's adaptive-patch-deformation core:
   non-STRONG hits to the nearest strong pixel, accepting the first hit
   inside the angular cone; then 50-iteration RANSAC over the hits (triangle
   must contain the pixel, >= 6 inliers) and the 8 inliers nearest the best
-  plane become the anchors. We subsample the reference's ~165-step radius
-  march to a fixed 12-radius geometric schedule with 2 jittered rays
-  (vs 4) per step — with nearest-strong snapping this covers the same
-  space with a bounded probe budget (divergence documented; validated by
-  end-to-end metrics, SURVEY.md §7 item 3).
+  plane become the anchors. The march runs a fixed-trip masked scan over
+  ``radius_schedule`` — the reference's doubling phase verbatim, its +25
+  arithmetic phase thinned to the snap-box coverage bound, capped at the
+  image diagonal exactly as the reference's boundary break (APD.cu:1809-
+  1811) — with 2 jittered rays per radius (vs 4). Coverage equivalence is
+  validated against a NumPy replica of the reference search
+  (tests/test_anchor_oracle.py).
 - RANSACToGetFitPlane (APD.cu:2272-2384): per-iteration plane fit over the
   anchors' current 3D points.
 - ComputeBilateralNCCNew (APD.cu:400-528): deformed NCC = 0.25 * center
@@ -52,10 +54,38 @@ _MIN_MARGIN = 6  # reference: APD.cu:1765
 _NEAREST_RADIUS = 100  # reference: APD.cu:2250
 _RANSAC_ITERS = 50  # reference: APD.cu:1880, 2316
 _NUM_ANCHORS = NEIGHBOUR_NUM - 1  # 8
-# Fixed radius schedule replacing the reference's r = min(2r, r+25) march
-# (APD.cu:1807); geometric coverage to MAX_SEARCH_RADIUS.
-_RADIUS_SCHEDULE = (2, 4, 8, 16, 32, 57, 107, 207, 407, 807, 1607, 3107)
-_JITTERS_PER_RADIUS = 2  # reference uses 4 (APD.cu:1812)
+_JITTERS_PER_RADIUS = 2  # reference uses 4 (APD.cu:1812); see radius_schedule
+# Max gap between consecutive probe radii: every probe's landing snaps to
+# the nearest STRONG pixel within a +-100 px box (APD.cu:1822-1828), whose
+# along-ray reach is >= 100/sqrt(2) ~ 70 px per side, so steps <= ~140 px
+# leave no strong region between probes unreachable. 125 keeps slack.
+_MAX_RADIUS_GAP = 125
+
+
+def radius_schedule(width: int, height: int) -> Tuple[int, ...]:
+    """Probe radii equivalent in coverage to the reference march.
+
+    The reference marches r = 2, then r = min(2r, r+25) until the
+    unjittered probe leaves the image (the loop *breaks* at the image
+    boundary, APD.cu:1808-1812 — it never actually reaches
+    MAX_SEARCH_RADIUS=4096 unless the image is that large), testing 4
+    jittered rays per radius with break-on-first-accept. Because every
+    landing snaps to the nearest strong pixel within a 100 px box, the +25
+    steps are ~8x redundant; we keep the doubling phase verbatim (which
+    fixes the near-anchor-first acceptance order) and thin the arithmetic
+    phase to _MAX_RADIUS_GAP steps, capped at the image diagonal.
+    Coverage-equivalence is validated against a NumPy replica of the
+    reference search in tests/test_anchor_oracle.py.
+    """
+    limit = min(4096, int(math.hypot(width, height)))
+    radii = []
+    r = 2
+    while r <= limit and r < 125:  # doubling phase: 2,4,8,16,32,57,82,107
+        radii.append(r)
+        r = min(2 * r, r + 25)
+    last = radii[-1] if radii else 2
+    radii.extend(range(last + _MAX_RADIUS_GAP, limit + 1, _MAX_RADIUS_GAP))
+    return tuple(radii)
 
 
 def compact_weak_pixels(pixel_state: jax.Array, capacity: int) -> jax.Array:
@@ -76,14 +106,18 @@ def nearest_strong_map(pixel_state: jax.Array) -> jax.Array:
     x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     strong = pixel_state == PixelState.STRONG
-    big = jnp.int32(1 << 20)
     best_x = jnp.where(strong, x, -1)
     best_y = jnp.where(strong, y, -1)
 
     def dist2(bx, by):
-        dx = jnp.where(bx >= 0, bx - x, big)
-        dy = jnp.where(bx >= 0, by - y, big)
-        return jnp.where(bx >= 0, dx * dx + dy * dy, big * big)
+        # sentinel for empty lanes must exceed any real squared distance
+        # (max ~2*4096^2 < 2^26) without overflowing int32 — a prior
+        # (1<<20)**2 sentinel wrapped to 0 and froze the flood, silently
+        # disabling anchor snapping (fixed in round 2; caught by
+        # tests/test_anchor_oracle.py)
+        dx = bx - x
+        dy = by - y
+        return jnp.where(bx >= 0, dx * dx + dy * dy, jnp.int32(1 << 30))
 
     # scan over flood step sizes (one compiled body, dynamic-shift slices);
     # steps larger than the grid are dropped statically
@@ -182,47 +216,40 @@ def _point_in_triangle(
     return ok & (t1 * t2 >= 0) & (t1 * t3 >= 0)
 
 
-def generate_anchors(
-    ctx: CostContext,
-    prior_depth: jax.Array,
+def probe_strong_points(
     pixel_state: jax.Array,
     weak_xy: jax.Array,
     key: jax.Array,
-    cfg: PassConfig,
-    ransac_threshold: jax.Array,
-) -> Tuple[AnchorData, jax.Array]:
-    """Anchor search + RANSAC reliability filter (GenNeighbours,
-    APD.cu:1750-1969, and NeigbourUpdate, APD.cu:1971-1987).
+    rotate_time: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Directional probe stage of GenNeighbours (APD.cu:1793-1851): per
+    (weak pixel, direction) march the ``radius_schedule`` with jittered
+    rays, snap non-STRONG landings to the nearest strong pixel, accept the
+    first hit inside the angular cone (masked fixed-trip scan replacing
+    the reference's break-on-accept).
 
-    prior_depth: [H, W] — the pass-input depth map; anchor 3D points use it
-    exactly as the reference uses pre-initialization plane_hypotheses[...].w.
-    Returns (AnchorData, updated pixel_state with unreliable WEAK -> UNKNOWN).
+    Returns (found [N, D] bool, spx [N, D], spy [N, D]) with
+    D = 8 * rotate_time. Compared against a NumPy replica of the
+    reference's full march in tests/test_anchor_oracle.py.
     """
-    H, W = ctx.height, ctx.width
+    H, W = pixel_state.shape
     N = weak_xy.shape[0]
     wx = weak_xy[..., 0].astype(jnp.float32)
     wy = weak_xy[..., 1].astype(jnp.float32)
-    alive = weak_xy[..., 0] >= 0
 
     nearest = nearest_strong_map(pixel_state)  # [H, W, 2]
     strong_grid = pixel_state == PixelState.STRONG
 
-    dirs_np = _base_directions(cfg.rotate_time)  # [D, 2]
+    dirs_np = _base_directions(rotate_time)  # [D, 2]
     D = dirs_np.shape[0]
-    angle = 45.0 / cfg.rotate_time
+    angle = 45.0 / rotate_time
     cos_threshold = math.cos(math.radians(angle / 2.0))
     shift_range = max(int(math.tan(math.radians(angle / 2.0)) * 20), 1)
 
-    k_probe, k_ransac = jax.random.split(key)
-
-    # --- probe schedule: [D, P, 2] unit directions after jitter ---
-    P = len(_RADIUS_SCHEDULE) * _JITTERS_PER_RADIUS
-    radii = np.repeat(np.asarray(_RADIUS_SCHEDULE, np.float32), _JITTERS_PER_RADIUS)
-
-    def probe_dir(key_d):
-        """Jittered unit directions for one (dir, probe) lane (APD.cu:1813-1816)."""
-        shifts = jax.random.randint(key_d, (N, 2), -shift_range + 1, shift_range)
-        return shifts.astype(jnp.float32)
+    # --- probe schedule (radius_schedule: reference-march coverage) ---
+    schedule = radius_schedule(W, H)
+    P = len(schedule) * _JITTERS_PER_RADIUS
+    radii = np.repeat(np.asarray(schedule, np.float32), _JITTERS_PER_RADIUS)
 
     def scan_dir(d_idx):
         """First accepted strong point along direction d for all weak pixels."""
@@ -259,7 +286,7 @@ def generate_anchors(
                 jnp.where(accept, sy, pt_y),
             ), None
 
-        keys = jax.random.split(jax.random.fold_in(k_probe, d_idx), P)
+        keys = jax.random.split(jax.random.fold_in(key, d_idx), P)
         init = (
             jnp.zeros((N,), bool),
             jnp.full((N,), -1, jnp.int32),
@@ -274,6 +301,35 @@ def generate_anchors(
     found = jnp.moveaxis(found, 0, 1)  # [N, D]
     spx = jnp.moveaxis(spx, 0, 1)
     spy = jnp.moveaxis(spy, 0, 1)
+    return found, spx, spy
+
+
+def generate_anchors(
+    ctx: CostContext,
+    prior_depth: jax.Array,
+    pixel_state: jax.Array,
+    weak_xy: jax.Array,
+    key: jax.Array,
+    cfg: PassConfig,
+    ransac_threshold: jax.Array,
+) -> Tuple[AnchorData, jax.Array]:
+    """Anchor search + RANSAC reliability filter (GenNeighbours,
+    APD.cu:1750-1969, and NeigbourUpdate, APD.cu:1971-1987).
+
+    prior_depth: [H, W] — the pass-input depth map; anchor 3D points use it
+    exactly as the reference uses pre-initialization plane_hypotheses[...].w.
+    Returns (AnchorData, updated pixel_state with unreliable WEAK -> UNKNOWN).
+    """
+    H, W = ctx.height, ctx.width
+    N = weak_xy.shape[0]
+    wx = weak_xy[..., 0].astype(jnp.float32)
+    wy = weak_xy[..., 1].astype(jnp.float32)
+    alive = weak_xy[..., 0] >= 0
+
+    k_probe, k_ransac = jax.random.split(key)
+    found, spx, spy = probe_strong_points(
+        pixel_state, weak_xy, k_probe, cfg.rotate_time
+    )
     num_found = jnp.sum(found, axis=1)
 
     # --- compact valid strong points to the front of the D slots ---
@@ -724,18 +780,32 @@ def propagate_weak(
     else:
         plane_final = plane_now
 
-    # --- cost rewrite with plain NCC for strong/weak comparability
-    # (APD.cu:1499-1507) ---
-    cv_plain = ncc.cost_vector(
-        ctx, plane_final, cfg.strong_radius, cfg.strong_increment, xs=wx, ys=wy
-    )
-    cost_final = jnp.sum(weights * cv_plain, axis=0) / jnp.maximum(weight_norm, 1e-30)
-
-    # --- scatter back to the grid ---
+    # --- scatter the adopted planes to the grid first, so the cost
+    # rewrite below can run in grid mode over the updated field ---
     upd = still_weak & (weight_norm > 0)
     ix = jnp.where(upd, weak_xy[..., 0], -1)
     iy = jnp.where(upd, weak_xy[..., 1], -1)
     planes_grid = planes_grid.at[iy, ix].set(plane_final, mode="drop")
+
+    # --- cost rewrite with plain NCC for strong/weak comparability
+    # (APD.cu:1499-1507). Evaluated through the same exact evaluator as
+    # the strong path (grid mode -> the fused Pallas kernel when volumes
+    # are present, whose slice index is computed per sample) rather than
+    # the C36 cost volume's fronto-parallel-at-center approximation —
+    # mixed exact/approx costs would bias later strong-vs-weak argmins.
+    if ctx.volumes is not None:
+        cv_grid = ncc.cost_vector(
+            ctx, planes_grid, cfg.strong_radius, cfg.strong_increment
+        )  # [V, H, W]
+        cv_plain = sampling.gather_grid(
+            jnp.moveaxis(cv_grid, 0, -1), weak_xy[..., 0], weak_xy[..., 1]
+        ).T  # [V, N]
+    else:
+        cv_plain = ncc.cost_vector(
+            ctx, plane_final, cfg.strong_radius, cfg.strong_increment, xs=wx, ys=wy
+        )
+    cost_final = jnp.sum(weights * cv_plain, axis=0) / jnp.maximum(weight_norm, 1e-30)
+
     costs_grid = costs_grid.at[iy, ix].set(cost_final, mode="drop")
     sel_grid_T = jnp.moveaxis(selected_grid, 0, -1).at[iy, ix].set(
         sel_now.T, mode="drop"

@@ -1,17 +1,28 @@
-"""Benchmark: full PatchMatch-pass throughput on one chip.
+"""Benchmark: full PatchMatch-pass throughput on one chip, honestly costed.
 
 Measures the flagship program — one complete REFINE_ITER pass (strong
 checkerboard propagation + APD weak machinery + geometric consistency +
 classification + refinement) on a synthetic 5-view scene at 640x480 —
-and reports depth-maps/sec.
+and reports depth-maps/sec *including amortized volume builds*:
+
+  per-pass cost = image_volume_build / 4 + depth_volume_build + pass_time
+
+which models one steady production round (scene.py): image volumes are
+cached per (problem, scale) and reused across the round's 4 passes;
+depth volumes are rebuilt every pass (charged on all 4 here, though the
+round's init pass actually skips them — conservative).
 
 The reference publishes no numbers (BASELINE.md): its only perf output is
 an unpersisted per-pass "Cost time" print (reference: main.cpp:135-137) on
 a Titan RTX. ``vs_baseline`` is therefore measured against this repo's own
-recorded baseline (`BENCH_BASELINE` below, the round-1 value on one TPU
-chip) so round-over-round progress is visible.
+recorded baseline (`BENCH_BASELINE` below: the round-1 naive XLA-gather
+port on one TPU chip, which had no volume builds to amortize) so
+round-over-round progress is visible.
 
-Prints exactly one JSON line:
+A speed-of-light estimate goes to stderr: the algorithm's required NCC
+sample-FMAs per pass (analytic count below) against a nominal VPU peak.
+
+Prints exactly one JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
@@ -28,6 +39,28 @@ import numpy as np
 # config) — the pre-volume-architecture XLA-gather implementation.
 # vs_baseline therefore tracks the speedup over the naive TPU port.
 BENCH_BASELINE = 0.0227
+
+# v5e per-chip VPU peak (vector f32): 4 MXU-adjacent SIMD units x (8, 128)
+# lanes x 2 flops x ~0.94 GHz ~= 7.9e12. Used only for the stderr
+# speed-of-light estimate; stated assumption, not a measured roofline.
+VPU_PEAK_FLOPS = 7.9e12
+FLOPS_PER_SAMPLE = 10.0  # 5 NCC accumulate-FMAs + slice-interp/warp share
+
+
+def required_ncc_samples(H: int, W: int, V: int, iters: int, weak_frac: float) -> float:
+    """Analytic count of (pixel, candidate, view, window-sample) NCC
+    sample-FMAs one REFINE_ITER pass fundamentally requires (reference
+    kernel DAG, APD.cu:2386-2495). Window = 36 samples (radius 5 step 2),
+    anchor patches = 9 (radius 5 step 5)."""
+    hw = H * W
+    vsrc = V - 1
+    strong = iters * hw * (8 + 6) * 36 * vsrc  # 8 candidates + ~6 refine/recost
+    classify = hw * 61 * 36 * min(vsrc, 4)  # DepthToWeak disparity sweep
+    refine = hw * 11 * 36 * min(vsrc, 4)  # LocalRefine
+    nweak = weak_frac * hw
+    weak = iters * nweak * (8 + 7) * (36 + 8 * 9) * V  # candidates+fit+combos
+    seed = hw * 36 * vsrc  # initial recost
+    return float(strong + classify + refine + weak + seed)
 
 
 def main() -> None:
@@ -84,17 +117,29 @@ def main() -> None:
     imgs = jnp.asarray(images)
     sv = jnp.asarray(src_valid)
     rth = jnp.asarray(0.00875, jnp.float32)
+    dmin, dmax = 2.0 * 0.6, 8.0 * 1.2
 
-    # plane-sweep volumes: built once per (problem, scale), reused by every
-    # pass/iteration (PERF_NOTES.md). Timed separately below.
     from apdmvs_tpu import ncc
 
+    def build_image_vols():
+        vs = ncc.build_image_volume_set(imgs, gc, dmin, dmax, num_slices=160)
+        np.asarray(vs.E[1, 0, 0])  # force completion (axon: PERF_NOTES.md)
+        return vs
+
+    def build_depth_vols(vs):
+        out = ncc.add_depth_volumes(vs, dm, gc, dmin, dmax)
+        np.asarray(out.D[1, 0, 0])
+        return out
+
+    # compile + warm both builders, then time them
+    vols_img = build_image_vols()
+    vols = build_depth_vols(vols_img)
     t0 = time.time()
-    vols = ncc.build_volume_set(
-        imgs, gc, 2.0 * 0.6, 8.0 * 1.2, num_slices=160, depth_maps=dm
-    )
-    np.asarray(vols.E[1, 0, 0])
-    vol_s = time.time() - t0
+    vols_img = build_image_vols()
+    img_build_s = time.time() - t0
+    t0 = time.time()
+    vols = build_depth_vols(vols_img)
+    depth_build_s = time.time() - t0
 
     def run(seed):
         out = pipeline.patchmatch_pass(
@@ -110,14 +155,34 @@ def main() -> None:
     t0 = time.time()
     for i in range(args.repeats):
         run(i + 1)
-    dt = (time.time() - t0) / args.repeats
+    pass_s = (time.time() - t0) / args.repeats
 
-    maps_per_sec = 1.0 / dt
+    # steady-round amortization: image volumes reused across 4 passes,
+    # depth volumes rebuilt per pass
+    amortized_s = img_build_s / 4.0 + depth_build_s + pass_s
+    maps_per_sec = 1.0 / amortized_s
+
+    samples = required_ncc_samples(H, W, V, cfg.max_iterations, 0.0625)
+    sol_s = samples * FLOPS_PER_SAMPLE / VPU_PEAK_FLOPS
+    print(
+        f"pass {pass_s*1000:.0f} ms + image-volume build {img_build_s*1000:.0f} ms/4"
+        f" + depth-volume build {depth_build_s*1000:.0f} ms"
+        f" => amortized {amortized_s*1000:.0f} ms/pass",
+        file=sys.stderr,
+    )
+    print(
+        f"speed-of-light estimate: {samples/1e9:.2f} G NCC samples/pass x "
+        f"{FLOPS_PER_SAMPLE:.0f} flops / {VPU_PEAK_FLOPS:.1e} flops/s = "
+        f"{sol_s*1000:.0f} ms ideal; achieved {amortized_s*1000:.0f} ms = "
+        f"{100.0*sol_s/amortized_s:.1f}% of VPU-peak-equivalent",
+        file=sys.stderr,
+    )
+
     vs = maps_per_sec / BENCH_BASELINE if BENCH_BASELINE else 1.0
     print(
         json.dumps(
             {
-                "metric": f"depth_maps_per_sec_{W}x{H}x{V}v_full_pass",
+                "metric": f"depth_maps_per_sec_{W}x{H}x{V}v_full_pass_incl_builds",
                 "value": round(maps_per_sec, 4),
                 "unit": "depth-maps/s",
                 "vs_baseline": round(vs, 3),

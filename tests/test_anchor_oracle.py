@@ -1,0 +1,181 @@
+"""Anchor probe-budget parity: a NumPy replica of the reference's full
+GenNeighbours radius march (min(2r, r+25), 4 jittered rays,
+break-on-first-accept; APD.cu:1793-1851) compared against the framework's
+thinned ``radius_schedule`` masked scan on the same inputs.
+
+The scene is built so that far coverage matters: a 1200 px-wide weak band
+whose center pixels are ~600 px from the nearest strong region — squarely
+inside the gap the round-1 geometric schedule left between its 407 and 807
+probes (VERDICT round 1, Missing #3)."""
+
+import math
+
+import jax
+import numpy as np
+import pytest
+
+from apdmvs_tpu import weak
+from apdmvs_tpu.params import PixelState
+
+W, H = 1280, 400
+ROTATE_TIME = 4
+
+
+def _reference_radii(limit: int):
+    out = []
+    r = 2
+    while r <= limit:
+        out.append(r)
+        r = min(2 * r, r + 25)
+    return out
+
+
+def _band_nearest_np(Hh: int, Ww: int, box: int = 100) -> np.ndarray:
+    """Exact nearest-STRONG map for the vertical-band scene (strong at
+    x < 40 and x >= 1240), |dx| <= box acceptance (the reference's 100 px
+    window, APD.cu:2250). Returns [H, W, 2] (x, y), -1 if none."""
+    xs = np.arange(Ww)
+    strong_x = (xs < 40) | (xs >= 1240)
+    d_left = xs - 39
+    d_right = 1240 - xs
+    nx = np.where(d_left <= d_right, 39, 1240)
+    nx = np.where(strong_x, xs, nx)
+    dist = np.abs(nx - xs)
+    nx = np.where(dist <= box, nx, -1)
+    out = np.full((Hh, Ww, 2), -1, np.int32)
+    out[..., 0] = nx[None, :]
+    out[..., 1] = np.where(nx[None, :] >= 0, np.arange(Hh)[:, None], -1)
+    return out
+
+
+def reference_probe_oracle(pixel_state, nearest, weak_pts, rotate_time, seed=0):
+    """Vectorized-over-pixels replica of the reference probe loops
+    (APD.cu:1793-1851). Returns found [N, D] bool and the accepted points'
+    distances [N, D] (inf where not found)."""
+    rng = np.random.RandomState(seed)
+    Hh, Ww = pixel_state.shape
+    strong = pixel_state == PixelState.STRONG
+    N = weak_pts.shape[0]
+    px0 = weak_pts[:, 0].astype(np.float64)
+    py0 = weak_pts[:, 1].astype(np.float64)
+    D = 8 * rotate_time
+    angle = 45.0 / rotate_time
+    thresh = math.cos(math.radians(angle / 2.0))
+    shift_range = max(int(math.tan(math.radians(angle / 2.0)) * 20), 1)
+    radii = _reference_radii(4096)
+
+    found = np.zeros((N, D), bool)
+    dist = np.full((N, D), np.inf)
+
+    d_idx = -1
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            if ox == 0 and oy == 0:
+                continue
+            base = np.array([ox, oy], np.float64)
+            base /= np.linalg.norm(base)
+            d_idx += 1
+            cur = base.copy()
+            for rot in range(rotate_time):
+                di = d_idx * rotate_time + rot
+                marching = np.ones(N, bool)
+                for radius in radii:
+                    # unjittered boundary break (APD.cu:1809-1811)
+                    tx = px0 + cur[0] * radius
+                    ty = py0 + cur[1] * radius
+                    marching &= (tx >= 0) & (ty >= 0) & (tx < Ww) & (ty < Hh)
+                    act = marching & ~found[:, di]
+                    if not act.any():
+                        break
+                    for _ray in range(4):
+                        sxr = rng.randint(-shift_range + 1, shift_range, N)
+                        syr = rng.randint(-shift_range + 1, shift_range, N)
+                        dvec = np.stack(
+                            [cur[0] * 20 + sxr, cur[1] * 20 + syr], -1
+                        ).astype(np.float64)
+                        dvec /= np.linalg.norm(dvec, axis=-1, keepdims=True)
+                        lx = (px0 + dvec[:, 0] * radius).astype(np.int64)
+                        ly = (py0 + dvec[:, 1] * radius).astype(np.int64)
+                        ok = act & (lx >= 6) & (ly >= 6) & (lx < Ww - 6) & (ly < Hh - 6)
+                        lxc = np.clip(lx, 0, Ww - 1)
+                        lyc = np.clip(ly, 0, Hh - 1)
+                        is_strong = strong[lyc, lxc]
+                        nsx = nearest[lyc, lxc, 0]
+                        nsy = nearest[lyc, lxc, 1]
+                        fx = np.where(is_strong, lxc, nsx)
+                        fy = np.where(is_strong, lyc, nsy)
+                        ok &= fx >= 0
+                        tdx = fx - px0
+                        tdy = fy - py0
+                        nrm = np.maximum(np.hypot(tdx, tdy), 1e-12)
+                        cos_a = (tdx * cur[0] + tdy * cur[1]) / nrm
+                        accept = ok & (cos_a > thresh) & ~found[:, di]
+                        found[accept, di] = True
+                        dist[accept, di] = nrm[accept]
+                # rotate for the next iteration (APD.cu:1845-1851)
+                ca = math.cos(math.radians(angle))
+                sa = math.sin(math.radians(angle))
+                cur = np.array(
+                    [cur[0] * ca - cur[1] * sa, cur[0] * sa + cur[1] * ca]
+                )
+                cur /= np.linalg.norm(cur)
+    return found, dist
+
+
+@pytest.fixture(scope="module")
+def band_scene():
+    pixel_state = np.full((H, W), PixelState.WEAK, np.uint8)
+    pixel_state[:, :40] = PixelState.STRONG
+    pixel_state[:, 1240:] = PixelState.STRONG
+    nearest = _band_nearest_np(H, W)
+    rng = np.random.RandomState(7)
+    wx = rng.randint(60, 1220, 192)
+    wy = rng.randint(40, H - 40, 192)
+    weak_pts = np.stack([wx, wy], -1).astype(np.int32)
+    return pixel_state, nearest, weak_pts
+
+
+def test_probe_budget_matches_reference_march(band_scene):
+    pixel_state, nearest, weak_pts = band_scene
+    oracle_found, oracle_dist = reference_probe_oracle(
+        pixel_state, nearest, weak_pts, ROTATE_TIME, seed=0
+    )
+
+    import jax.numpy as jnp
+
+    found, spx, spy = jax.jit(
+        weak.probe_strong_points, static_argnames=("rotate_time",)
+    )(jnp.asarray(pixel_state), jnp.asarray(weak_pts), jax.random.PRNGKey(0),
+      ROTATE_TIME)
+    found = np.asarray(found)
+    spx = np.asarray(spx)
+    spy = np.asarray(spy)
+
+    # per-pixel found-direction counts must match the full reference march
+    o_counts = oracle_found.sum(1)
+    r_counts = found.sum(1)
+    assert abs(r_counts.mean() - o_counts.mean()) / o_counts.mean() < 0.15, (
+        r_counts.mean(), o_counts.mean())
+    # pre-RANSAC reliability (needs > 3 found dirs, APD.cu:1858)
+    o_rel = (o_counts > 3).mean()
+    r_rel = (r_counts > 3).mean()
+    assert abs(r_rel - o_rel) <= 0.1, (r_rel, o_rel)
+
+    # far coverage: center-band pixels (>= 450 px from any strong region)
+    # that the reference march reaches must also be reached here — this is
+    # the gap the round-1 geometric schedule missed
+    center = np.abs(weak_pts[:, 0].astype(np.int64) - 640) < 150
+    assert center.sum() > 10
+    o_center = (o_counts[center] > 0).mean()
+    r_center = (r_counts[center] > 0).mean()
+    assert r_center >= o_center - 0.1, (r_center, o_center)
+
+    # found anchor distances live in the same regime (far anchors found)
+    r_dist = np.hypot(
+        spx.astype(np.float64) - weak_pts[:, :1],
+        spy.astype(np.float64) - weak_pts[:, 1:2],
+    )
+    r_far = r_dist[found & (r_dist > 0)]
+    o_far = oracle_dist[oracle_found]
+    assert abs(np.median(r_far) - np.median(o_far)) < 120, (
+        np.median(r_far), np.median(o_far))

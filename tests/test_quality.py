@@ -1,0 +1,57 @@
+"""Scene-family quality harness: full pipeline -> fused cloud -> F-score
+against oracle geometry (eval.py), under per-view radiometric gain/bias +
+pixel noise (VERDICT round-1 item 6: beyond two clean planes — occlusion,
+curvature, radiometric robustness).
+
+Thresholds are in scene units on ~4 m scenes: 0.05 ~ 1.2% of depth."""
+
+import os
+
+import numpy as np
+import pytest
+
+from apdmvs_tpu import eval as eval_mod
+from apdmvs_tpu import scene
+from apdmvs_tpu.datasets import synthetic
+from apdmvs_tpu.io import formats
+
+
+def _run_and_eval(tmp_path, cams, prims, seed=0, noise=True, **run_kw):
+    folder = str(tmp_path / "scene")
+    images, depths, normals = synthetic.render_scene(cams, prims)
+    imgs_in = synthetic.perturb_radiometric(images, seed=11) if noise else images
+    synthetic.write_mvsnet_dataset(folder, cams, prims, images=imgs_in)
+    ply = scene.run_scene(folder, seed=seed, verbose=False, **run_kw)
+    coords, _ = formats.read_point_cloud(ply)
+    gt = synthetic.gt_cloud(cams, depths, stride=2)
+    metrics = eval_mod.cloud_metrics(coords, gt, thresholds=(0.05,))
+    return metrics[0.05], coords, depths
+
+
+def test_occlusion_scene_quality(tmp_path):
+    """Foreground card over a wall: fusion must reject half-occluded
+    matches (the consistency thresholds' purpose, APD.cpp:918-951)."""
+    cams, prims = synthetic.make_occlusion_scene(num_views=4)
+    m, coords, depths = _run_and_eval(tmp_path, cams, prims)
+    assert m.num_points > 3000, m
+    assert m.accuracy > 0.75, m
+    assert m.f1 > 0.55, m
+
+
+def test_curved_scene_quality(tmp_path):
+    """Sphere + wall: per-pixel local planes must track curvature."""
+    cams, prims = synthetic.make_curved_scene(num_views=4)
+    m, coords, depths = _run_and_eval(tmp_path, cams, prims)
+    assert m.num_points > 3000, m
+    assert m.accuracy > 0.75, m
+    assert m.f1 > 0.55, m
+
+
+def test_radiometric_robustness(tmp_path):
+    """NCC is affine-invariant: gain/bias + noise must not collapse quality
+    relative to the clean run (same ring scene as test_scene.py)."""
+    cams, prims = synthetic.make_ring_scene(num_views=4, width=160, height=120)
+    m_noisy, _, _ = _run_and_eval(tmp_path, cams, prims, noise=True)
+    assert m_noisy.num_points > 3000, m_noisy
+    assert m_noisy.accuracy > 0.75, m_noisy
+    assert m_noisy.f1 > 0.55, m_noisy

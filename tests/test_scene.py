@@ -97,3 +97,101 @@ def test_run_scene_end_to_end(scene_dir):
     ply2 = scene.run_fusion(folder, problems, out_name="APD2.ply")
     c2, _ = formats.read_point_cloud(ply2)
     assert c2.shape[0] == coords.shape[0]
+
+
+def test_missing_prior_fails_loudly(tmp_path):
+    """A non-FIRST_INIT pass without prior state files must raise (the
+    reference exits, APD.cpp:514-518); allow_missing_prior restores the
+    lenient re-initialization."""
+    import jax
+
+    from apdmvs_tpu.params import build_schedule
+
+    folder = str(tmp_path / "scene")
+    cams, planes = synthetic.make_ring_scene(num_views=3, width=96, height=80)
+    synthetic.write_mvsnet_dataset(folder, cams, planes, depth_ranges=(2.0, 8.0))
+    problems = scene.generate_sample_list(folder)
+    cache = scene.SceneCache(folder)
+    spec = build_schedule(1)[1]  # first REFINE_ITER pass
+    key = jax.random.PRNGKey(0)
+    with pytest.raises(FileNotFoundError):
+        scene.process_problem(cache, problems[0], spec, (96, 80), key)
+    # lenient mode re-initializes from scratch instead
+    stats = scene.process_problem(
+        cache, problems[0], spec, (96, 80), key, allow_missing_prior=True
+    )
+    assert stats.seconds > 0
+    d = formats.read_bin_mat(os.path.join(problems[0].result_folder, "depths.dmb"))
+    assert d.shape == (80, 96)
+
+
+def test_multi_round_resume_bit_compatible(tmp_path):
+    """Multi-round schedule (REFINE_INIT + use_APD + scale boundary) with a
+    mid-schedule kill/resume: re-running the remaining passes from the
+    on-disk state files must reproduce the uninterrupted run bit-for-bit
+    (the file contract IS the checkpoint system, SURVEY.md §5)."""
+    import shutil
+
+    import jax
+
+    from apdmvs_tpu.params import build_schedule
+
+    folder = str(tmp_path / "scene")
+    cams, planes = synthetic.make_ring_scene(
+        num_views=3, width=128, height=96, include_flat_region=True
+    )
+    synthetic.write_mvsnet_dataset(folder, cams, planes, depth_ranges=(2.0, 8.0))
+    problems = scene.generate_sample_list(folder)
+    full_size = (128, 96)
+    schedule = build_schedule(2)  # forced 2 rounds: scale 1/2 then 1/1
+    assert schedule[4].state.name == "REFINE_INIT" and schedule[4].use_APD
+    root_key = jax.random.PRNGKey(0)
+    V_pad = max(1 + len(p.src_image_ids) for p in problems)
+
+    def run_passes(cache, specs):
+        for spec in specs:
+            for problem in problems:
+                key = jax.random.fold_in(
+                    jax.random.fold_in(root_key, spec.pass_index), problem.index
+                )
+                scene.process_problem(
+                    cache, problem, spec, full_size, key, num_views_pad=V_pad
+                )
+
+    # uninterrupted run, snapshotting the state dir mid-schedule (after the
+    # coarse round, right before the scale boundary)
+    kill_at = 4
+    cache = scene.SceneCache(folder)
+    run_passes(cache, schedule[:kill_at])
+    snap = str(tmp_path / "snap")
+    shutil.copytree(os.path.join(folder, "APD"), snap)
+    run_passes(cache, schedule[kill_at:])
+    final = {
+        p.ref_image_id: formats.read_bin_mat(
+            os.path.join(p.result_folder, "depths.dmb")
+        )
+        for p in problems
+    }
+    weak_final = {
+        p.ref_image_id: formats.read_bin_mat(
+            os.path.join(p.result_folder, "weak.bin")
+        )
+        for p in problems
+    }
+
+    # "killed" run: restore the snapshot, resume with a cold cache
+    shutil.rmtree(os.path.join(folder, "APD"))
+    shutil.copytree(snap, os.path.join(folder, "APD"))
+    cache2 = scene.SceneCache(folder)
+    run_passes(cache2, schedule[kill_at:])
+    for p in problems:
+        d = formats.read_bin_mat(os.path.join(p.result_folder, "depths.dmb"))
+        np.testing.assert_array_equal(d, final[p.ref_image_id])
+        wk = formats.read_bin_mat(os.path.join(p.result_folder, "weak.bin"))
+        np.testing.assert_array_equal(wk, weak_final[p.ref_image_id])
+    # the APD machinery actually ran: some pixels classified WEAK somewhere
+    # along the final round's outputs (flat region present in the scene)
+    assert any(
+        (w == PixelState.WEAK).any() or (w == PixelState.UNKNOWN).any()
+        for w in weak_final.values()
+    )
