@@ -1,0 +1,146 @@
+"""Worklist K-column gather + dense slice lookups for the weak (APD) path.
+
+The weak machinery evaluates patch NCCs at *scattered* positions (a weak
+pixel's 8 anchors sit up to thousands of pixels away, SURVEY.md §7 "hard
+parts" #1). Round 1 turned each patch NCC into a 2-element cost-volume
+fetch (ops/cost_volume.py), but those fetches are still XLA gathers at
+~25 M elem/s (PERF_NOTES.md), and the propagation loop re-gathers every
+iteration: ~15 M gathers/iter dominated prop_weak (1.1 s/iter at VGA).
+
+This module removes gathers from the iteration loop entirely:
+
+1. Once per pass (anchors are fixed for a whole pass, APD.cu:2415), a
+   Pallas kernel DMAs the full K-column of every (position, view) —
+   ``gather_rows``: one descriptor per worklist position, fetching a
+   contiguous [(V-1) * K] row of the position-major cost-volume table.
+2. Every per-iteration lookup then becomes a *dense* contraction over the
+   resident columns: linear interpolation along K is a tent-weight
+   reduce (``tent_lookup``), nearest-slice selection a one-hot reduce
+   (``nearest_lookup``) — pure VPU math, no gathers.
+
+The reference evaluates anchor patches with per-thread texture loops
+(ComputeBilateralNCCNew, APD.cu:400-528); this is its TPU-native shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# positions per kernel program: bounds in-flight DMAs and the VMEM block
+_BLOCK = 64
+
+
+def _gather_kernel(idx_ref, table_hbm, out_ref, sems):
+    """One program: DMA _BLOCK table rows picked by the prefetched indices
+    into the output block. No compute — the DMA engine does the gather."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    copies = []
+    for i in range(_BLOCK):
+        row = idx_ref[g * _BLOCK + i]
+        dma = pltpu.make_async_copy(
+            table_hbm.at[pl.ds(row, 1), :],
+            out_ref.at[pl.ds(i, 1), :],
+            sems.at[i],
+        )
+        dma.start()
+        copies.append(dma)
+    for dma in copies:
+        dma.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_rows(
+    table: jax.Array,  # [R, C] (C a multiple of 128)
+    idx: jax.Array,  # [M] int32 row indices, M a multiple of _BLOCK
+    interpret: bool | None = None,
+) -> jax.Array:
+    """out[m] = table[idx[m]] via per-row DMA (the TPU-native worklist
+    gather: descriptors are issued by the scalar core, rows move at DMA
+    bandwidth — no VPU gather lowering involved)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    R, C = table.shape
+    # lane-align the row width (full-table pad; no-op for the common
+    # V=5, K=160 -> C=640 configuration)
+    Cp = ((C + 127) // 128) * 128
+    if Cp != C:
+        table = jnp.pad(table, ((0, 0), (0, Cp - C)))
+    M = idx.shape[0]
+    Mp = ((M + _BLOCK - 1) // _BLOCK) * _BLOCK
+    if Mp != M:
+        idx = jnp.pad(idx, (0, Mp - M))
+    idx = jnp.clip(idx.astype(jnp.int32), 0, R - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // _BLOCK,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (_BLOCK, Cp), lambda g, idx_ref: (g, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_BLOCK,))],
+    )
+    out = pl.pallas_call(
+        _gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((Mp, Cp), table.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx, table)
+    return out[:M, :C] if (Mp != M or Cp != C) else out
+
+
+def pack_volume_rows(C_vol: jax.Array) -> jax.Array:
+    """[V, K, PH, PW] cost/depth volume -> position-major row table
+    [PH * PW, (V-1) * K] (view 0 — the reference view — is never fetched).
+    """
+    V, K, PH, PW = C_vol.shape
+    t = jnp.moveaxis(C_vol[1:], (0, 1), (2, 3))  # [PH, PW, V-1, K]
+    return t.reshape(PH * PW, (V - 1) * K)
+
+
+def flat_index(xs: jax.Array, ys: jax.Array, pad_y: int, pad_x: int, PH: int, PW: int):
+    """Row index of unpadded pixel coords into the padded position grid;
+    invalid (negative) coords clamp to row 0 (callers mask the result)."""
+    xi = jnp.clip(xs.astype(jnp.int32) + pad_x, 0, PW - 1)
+    yi = jnp.clip(ys.astype(jnp.int32) + pad_y, 0, PH - 1)
+    return yi * PW + xi
+
+
+def tent_lookup(cols: jax.Array, k: jax.Array) -> jax.Array:
+    """Linear interpolation along the minor K axis as a dense tent-weight
+    contraction: out[...] = sum_i cols[..., i] * max(0, 1 - |k - i|).
+
+    cols: [..., K]; k broadcasts against cols[..., 0]'s shape (extra
+    *leading* dims on k are allowed — e.g. a candidate axis). Matches
+    ops.cost_volume.fetch_cost's clamped 2-point interpolation exactly.
+    """
+    K = cols.shape[-1]
+    kc = jnp.clip(k, 0.0, K - 1.0)[..., None]
+    ki = jax.lax.broadcasted_iota(jnp.float32, (1, K), 1).reshape(K)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(kc - ki))
+    return jnp.sum(cols.astype(jnp.float32) * w, axis=-1)
+
+
+def nearest_lookup(cols: jax.Array, k: jax.Array) -> jax.Array:
+    """Nearest-slice selection along K as a one-hot contraction (the depth
+    volume's truncation semantics, ops/ncc_volume._geom_kernel)."""
+    K = cols.shape[-1]
+    ki = jnp.round(jnp.clip(k, 0.0, K - 1.0))[..., None]
+    ii = jax.lax.broadcasted_iota(jnp.float32, (1, K), 1).reshape(K)
+    return jnp.sum(
+        cols.astype(jnp.float32) * (ki == ii).astype(jnp.float32), axis=-1
+    )
+
+
+def gather_rows_ref(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """XLA reference implementation of gather_rows (tests)."""
+    return jnp.take(table, jnp.clip(idx, 0, table.shape[0] - 1), axis=0)

@@ -262,8 +262,8 @@ def ncc_volume_cost_view(
                 (C, 4, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (C, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
@@ -528,8 +528,8 @@ def ncc_volume_cost_allviews(
                 (C, 4, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (V, C, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),

@@ -291,7 +291,7 @@ def build_volume_pallas(
         in_specs=[
             pl.BlockSpec((1, 12), lambda k, i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 6), lambda k, i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, 8, 128), lambda k, i, j: (k, i, j), memory_space=pltpu.VMEM

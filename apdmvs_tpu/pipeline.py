@@ -86,9 +86,18 @@ def patchmatch_pass_impl(
         anchors, pixel_state = weak.generate_anchors(
             ctx, prior.depth, pixel_state, weak_xy, k_anchor, cfg, ransac_threshold
         )
+        # anchors are fixed for the whole pass (APD.cu:2415), so the
+        # scattered cost/depth-volume columns are gathered once here and
+        # every weak-sweep lookup becomes a dense contraction (ops/cols.py)
+        wcols = (
+            weak.build_weak_cols(ctx, weak_xy, anchors)
+            if volumes is not None and volumes.C36 is not None
+            else None
+        )
     else:
         weak_xy = None
         anchors = None
+        wcols = None
 
     # ---- RandomInitialization (APD.cu:806-835) ----
     if cfg.state == RunState.FIRST_INIT:
@@ -126,7 +135,8 @@ def patchmatch_pass_impl(
         )
         if weak_xy is not None:
             st = weak.propagate_weak(
-                ctx, st, pixel_state, weak_xy, anchors, iter_idx, k_weak, cfg
+                ctx, st, pixel_state, weak_xy, anchors, iter_idx, k_weak, cfg,
+                wcols=wcols,
             )
 
     # ---- readout: plane -> depth + world normal (APD.cu:1587-1602) ----

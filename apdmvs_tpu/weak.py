@@ -184,6 +184,58 @@ class AnchorData(NamedTuple):
     coords: jax.Array
 
 
+class WeakCols(NamedTuple):
+    """Per-pass resident K-columns of the cost/depth volumes at every
+    worklist position (ops/cols.py rationale: anchors are fixed for a
+    whole pass, so the scattered gathers are hoisted out of the iteration
+    loop and every lookup becomes a dense contraction).
+
+    c36: [Vs, N, K] f32 — C36 columns at the weak pixels (Vs = V - 1
+      source views; view v corresponds to slot v-1).
+    c9: [Vs, N, 8, K] f32 — C9 columns at the anchors.
+    d: [Vs, N, K] f32 or None — depth-volume columns at the weak pixels
+      (geometric-consistency passes).
+    """
+
+    c36: jax.Array
+    c9: jax.Array
+    d: Optional[jax.Array]
+
+
+def build_weak_cols(
+    ctx: CostContext, weak_xy: jax.Array, anchors: AnchorData
+) -> WeakCols:
+    """Gather the per-pass column sets (one DMA per position; ops/cols.py)."""
+    from apdmvs_tpu.ops import cols as colsmod, ncc_volume
+
+    vs = ctx.volumes
+    V, K = vs.C36.shape[0], vs.C36.shape[1]
+    Vs = V - 1
+    PH, PW = vs.C36.shape[2], vs.C36.shape[3]
+    N = weak_xy.shape[0]
+
+    idx_c = colsmod.flat_index(
+        weak_xy[..., 0], weak_xy[..., 1], ncc_volume.PAD_Y, ncc_volume.PAD_X, PH, PW
+    )
+    c36 = colsmod.gather_rows(colsmod.pack_volume_rows(vs.C36), idx_c)
+    c36 = jnp.moveaxis(c36.reshape(N, Vs, K), 1, 0).astype(jnp.float32)
+
+    a = anchors.coords[:, 1:]  # [N, 8, 2]
+    idx_a = colsmod.flat_index(
+        a[..., 0], a[..., 1], ncc_volume.PAD_Y, ncc_volume.PAD_X, PH, PW
+    ).reshape(-1)
+    c9 = colsmod.gather_rows(colsmod.pack_volume_rows(vs.C9), idx_a)
+    c9 = jnp.moveaxis(c9.reshape(N, _NUM_ANCHORS, Vs, K), 2, 0).astype(jnp.float32)
+
+    d = None
+    if vs.D is not None:
+        DH, DW = vs.D.shape[2], vs.D.shape[3]
+        idx_d = colsmod.flat_index(weak_xy[..., 0], weak_xy[..., 1], 0, 0, DH, DW)
+        d = colsmod.gather_rows(colsmod.pack_volume_rows(vs.D), idx_d)
+        d = jnp.moveaxis(d.reshape(N, Vs, K), 1, 0).astype(jnp.float32)
+    return WeakCols(c36=c36, c9=c9, d=d)
+
+
 def _plane_from_triangle(A: jax.Array, B: jax.Array, C: jax.Array):
     """Unit plane (n, w) through 3 points; returns (plane [..., 4], degenerate
     mask) (reference cross-product construction: APD.cu:1897-1907)."""
@@ -238,7 +290,13 @@ def probe_strong_points(
     wy = weak_xy[..., 1].astype(jnp.float32)
 
     nearest = nearest_strong_map(pixel_state)  # [H, W, 2]
-    strong_grid = pixel_state == PixelState.STRONG
+    # one packed int32 per pixel: the flat index of the snapped strong
+    # point (strong pixels snap to themselves — their nearest is their own
+    # coordinate), -1 if none in the box. One gather per probe instead of
+    # three (TPU gather cost is per element, PERF_NOTES.md).
+    snap_flat = jnp.where(
+        nearest[..., 0] >= 0, nearest[..., 1] * W + nearest[..., 0], -1
+    ).astype(jnp.int32)
 
     dirs_np = _base_directions(rotate_time)  # [D, 2]
     D = dirs_np.shape[0]
@@ -269,12 +327,12 @@ def probe_strong_points(
                 & (px < W - _MIN_MARGIN)
                 & (py < H - _MIN_MARGIN)
             )
-            # snap non-STRONG landings to their nearest strong pixel
-            is_strong = sampling.gather_grid(strong_grid, px, py)
-            snap = sampling.gather_grid(nearest, px, py)  # [N, 2]
-            sx = jnp.where(is_strong, px, snap[..., 0])
-            sy = jnp.where(is_strong, py, snap[..., 1])
-            has_pt = in_margin & (sx >= 0)
+            # snap the landing to its nearest strong pixel (strong pixels
+            # snap to themselves): one packed gather per probe
+            s = sampling.gather_grid(snap_flat, px, py)  # [N]
+            sx = s % W
+            sy = s // W
+            has_pt = in_margin & (s >= 0)
             # angular-cone acceptance (APD.cu:1829-1832)
             td = jnp.stack([sx.astype(jnp.float32) - wx, sy.astype(jnp.float32) - wy], -1)
             td = td / jnp.maximum(jnp.linalg.norm(td, axis=-1, keepdims=True), 1e-12)
@@ -446,6 +504,8 @@ def deformed_cost_vector(
     anchors: AnchorData,
     selected_grid: jax.Array,
     cfg: PassConfig,
+    wcols: Optional[WeakCols] = None,
+    sel_at_anchor: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Deformed (APD) NCC per view: [V, ..., N]
     (ComputeBilateralNCCNew: APD.cu:400-528).
@@ -461,8 +521,20 @@ def deformed_cost_vector(
     of the reference's per-thread anchor loop (APD.cu:452-513).
 
     When the context carries precomputed cost volumes, every patch term is
-    a 2-gather k-interpolated lookup instead (ops/cost_volume.py).
+    a 2-gather k-interpolated lookup instead (ops/cost_volume.py); with a
+    per-pass WeakCols (resident columns) every lookup is a dense tent
+    contraction with zero gathers (ops/cols.py).
     """
+    if wcols is not None:
+        if sel_at_anchor is None:
+            a = anchors.coords[:, 1:]
+            sel = sampling.gather_grid(
+                jnp.moveaxis(selected_grid, 0, -1), a[..., 0], a[..., 1]
+            )  # [N, 8, V]
+            sel_at_anchor = jnp.moveaxis(sel, -1, 0)[1:]  # [Vs, N, 8]
+        return _deformed_cost_vector_cols(
+            ctx, weak_xy, plane, anchors, sel_at_anchor, wcols
+        )
     if ctx.volumes is not None and getattr(ctx.volumes, "C36", None) is not None:
         return _deformed_cost_vector_volume(
             ctx, weak_xy, plane, anchors, selected_grid, cfg
@@ -554,6 +626,168 @@ def _deformed_cost_vector_volume(
     return jnp.where(ctx.src_valid.reshape(shape), total, COST_MAX)
 
 
+def _warp_oob_batched(
+    ctx: CostContext, Md: jax.Array, u: jax.Array
+) -> jax.Array:
+    """Analytic out-of-source-bounds tests for all source views at once.
+
+    Md: [Vs, *pos, 3] precomputed M_v @ dir per position; u: [B, *pos]
+    inverse depths (plane-dependent). Returns [B, Vs, *pos] bool.
+    Same math as ncc.point_warp_oob (texture-bounds policy, APD.cu:546-556).
+    """
+    cons = ctx.volumes.consts[1:, 0]  # [Vs, 20]
+    b = cons[:, 15:18]
+    src_w = cons[:, 18]
+    src_h = cons[:, 19]
+    pos_ndim = Md.ndim - 2
+    shape_v = (1, -1) + (1,) * pos_ndim
+    q = Md[None] + b.reshape(shape_v + (3,)) * u[:, None, ..., None]
+    px = q[..., 0] / q[..., 2]
+    py = q[..., 1] / q[..., 2]
+    return (
+        (px < 0.0)
+        | (px >= src_w.reshape(shape_v))
+        | (py < 0.0)
+        | (py >= src_h.reshape(shape_v))
+    )
+
+
+def _deformed_cost_vector_cols(
+    ctx: CostContext,
+    weak_xy: jax.Array,
+    plane: jax.Array,  # [..., N, 4]
+    anchors: AnchorData,
+    sel_at_anchor: jax.Array,  # [Vs, N, 8] bool (selected views at anchors)
+    wcols: WeakCols,
+) -> jax.Array:
+    """Deformed NCC via per-pass resident columns (WeakCols): every lookup
+    is a dense tent contraction — zero gathers per call. Policy identical
+    to _deformed_cost_vector_volume (APD.cu:438-521). Returns [V, ..., N].
+    """
+    from apdmvs_tpu.ops import cols as colsmod
+
+    vs = ctx.volumes
+    u_min, du = vs.u_grid
+    N = weak_xy.shape[0]
+    V = ctx.num_views
+    lead = plane.shape[:-2]
+    B = 1
+    for s in lead:
+        B *= s
+    p = plane.reshape((B, N, 4))
+
+    wx = weak_xy[..., 0].astype(jnp.float32)
+    wy = weak_xy[..., 1].astype(jnp.float32)
+    a = anchors.coords[:, 1:]  # [N, 8, 2]
+    valid = a[..., 0] >= 0
+
+    cons = vs.consts[1:, 0]  # [Vs, 20]
+    M = cons[:, 6:15].reshape(-1, 3, 3)
+
+    # ---- center term ----
+    dirs_c = geometry.pixel_dirs(ctx.cams.K[0], wx, wy)  # [N, 3]
+    u_c = -jnp.einsum("bnc,nc->bn", p[..., :3], dirs_c) / p[..., 3]  # [B, N]
+    k_c = (u_c - u_min) / du
+    center = colsmod.tent_lookup(wcols.c36, k_c[:, None, :])  # [B, Vs, N]
+    Md_c = jnp.einsum("vij,nj->vni", M, dirs_c)  # [Vs, N, 3]
+    oob_c = _warp_oob_batched(ctx, Md_c, u_c)  # [B, Vs, N]
+    center = jnp.where(oob_c, COST_MAX, center)
+
+    # ---- anchor terms ----
+    adirs = geometry.pixel_dirs(
+        ctx.cams.K[0], a[..., 0].astype(jnp.float32), a[..., 1].astype(jnp.float32)
+    )  # [N, 8, 3]
+    u_a = -jnp.einsum("bnc,nac->bna", p[..., :3], adirs) / p[..., 3:4]  # [B, N, 8]
+    k_a = (u_a - u_min) / du
+    a_val = colsmod.tent_lookup(wcols.c9, k_a[:, None, :, :])  # [B, Vs, N, 8]
+    Md_a = jnp.einsum("vij,naj->vnai", M, adirs)  # [Vs, N, 8, 3]
+    a_oob = _warp_oob_batched(ctx, Md_a, u_a)  # [B, Vs, N, 8]
+
+    include = valid[None, None] & (~a_oob | sel_at_anchor[None])
+    value = jnp.where(a_oob, COST_MAX, a_val)
+    costs_a = jnp.where(include, value, 0.0)
+    cnt = jnp.sum(include, axis=-1).astype(jnp.float32)  # [B, Vs, N]
+    strong_cost = jnp.minimum(
+        jnp.sum(costs_a, axis=-1) / jnp.maximum(cnt, 1.0), COST_MAX
+    )
+    total = jnp.where(cnt > 0, 0.25 * center + 0.75 * strong_cost, center)
+
+    out = jnp.concatenate(
+        [jnp.full((B, 1, N), COST_MAX, jnp.float32), total], axis=1
+    )  # [B, V, N]
+    out = jnp.moveaxis(out, 1, 0).reshape((V,) + lead + (N,))
+    shape = (V,) + (1,) * (out.ndim - 1)
+    return jnp.where(ctx.src_valid.reshape(shape), out, COST_MAX)
+
+
+def _geom_cost_vector_cols(
+    ctx: CostContext,
+    weak_xy: jax.Array,
+    plane: jax.Array,  # [..., N, 4]
+    wcols: WeakCols,
+) -> jax.Array:
+    """Geometric-consistency costs via resident depth columns: identical
+    nearest-slice semantics to the grid depth-volume kernel
+    (ops/ncc_volume._geom_kernel; reference: APD.cu:752-789).
+    Returns [V, ..., N]."""
+    from apdmvs_tpu.ops import cols as colsmod
+
+    vs = ctx.volumes
+    u_min, du = vs.u_grid
+    N = weak_xy.shape[0]
+    V = ctx.num_views
+    lead = plane.shape[:-2]
+    B = 1
+    for s in lead:
+        B *= s
+    p = plane.reshape((B, N, 4))
+    wx = weak_xy[..., 0].astype(jnp.float32)
+    wy = weak_xy[..., 1].astype(jnp.float32)
+    dirs_c = geometry.pixel_dirs(ctx.cams.K[0], wx, wy)  # [N, 3]
+
+    g = vs.geom_consts[1:, 0]  # [Vs, _NGEOM]
+    M = g[:, 6:15].reshape(-1, 3, 3)
+    b = g[:, 15:18]
+    A = g[:, 18:27].reshape(-1, 3, 3)
+    t2 = g[:, 27:30]
+    src_w = g[:, 30]
+    src_h = g[:, 31]
+
+    u = -jnp.einsum("bnc,nc->bn", p[..., :3], dirs_c) / p[..., 3]  # [B, N]
+    k = (u - u_min) / du
+    sd = colsmod.nearest_lookup(wcols.d, k[:, None, :])  # [B, Vs, N]
+
+    Md = jnp.einsum("vij,nj->vni", M, dirs_c)  # [Vs, N, 3]
+    q = Md[None] + b[None, :, None, :] * u[:, None, :, None]  # [B, Vs, N, 3]
+    px = q[..., 0] / q[..., 2]
+    py = q[..., 1] / q[..., 2]
+    oob = (
+        (px < 0.0)
+        | (px >= src_w[None, :, None])
+        | (py < 0.0)
+        | (py >= src_h[None, :, None])
+    )
+    # reproject (src pixel, src depth) into ref: q2 = sd * A ps~ + t'
+    r = (
+        A[None, :, None, :, 0] * px[..., None]
+        + A[None, :, None, :, 1] * py[..., None]
+        + A[None, :, None, :, 2]
+    )  # [B, Vs, N, 3]
+    q2 = sd[..., None] * r + t2[None, :, None, :]
+    bx = q2[..., 0] / q2[..., 2]
+    by = q2[..., 1] / q2[..., 2]
+    err = jnp.sqrt((wx - bx) ** 2 + (wy - by) ** 2)
+    cost = jnp.minimum(err, GEOM_COST_MAX)
+    cost = jnp.where((sd == 0.0) | oob, GEOM_COST_MAX, cost)
+
+    out = jnp.concatenate(
+        [jnp.full((B, 1, N), GEOM_COST_MAX, jnp.float32), cost], axis=1
+    )
+    out = jnp.moveaxis(out, 1, 0).reshape((V,) + lead + (N,))
+    shape = (V,) + (1,) * (out.ndim - 1)
+    return jnp.where(ctx.src_valid.reshape(shape), out, GEOM_COST_MAX)
+
+
 def ransac_fit_planes(
     ctx: CostContext,
     planes_grid: jax.Array,
@@ -631,9 +865,14 @@ def propagate_weak(
     iter_idx: jax.Array,
     key: jax.Array,
     cfg: PassConfig,
+    wcols: Optional[WeakCols] = None,
 ) -> StrongState:
     """One weak-pixel sweep (CheckerboardPropagationWeak + weak refinement +
-    plain-NCC cost rewrite; APD.cu:1323-1508, 892-980)."""
+    plain-NCC cost rewrite; APD.cu:1323-1508, 892-980).
+
+    ``wcols`` (built once per pass by :func:`build_weak_cols`) switches all
+    deformed-NCC and geometric lookups to the gather-free resident-column
+    path."""
     planes_grid, costs_grid, selected_grid, vw_grid = st
     N = weak_xy.shape[0]
     wx = weak_xy[..., 0].astype(jnp.float32)
@@ -659,19 +898,31 @@ def propagate_weak(
     flag = (acoords[..., 0] >= 0) & (a_state == PixelState.STRONG)  # [N, 8]
     cand_planes = sampling.gather_grid(planes_grid, acoords[..., 0], acoords[..., 1])
 
+    # --- selected views at the anchors: gathered once, reused by the
+    # priors and by every deformed-cost evaluation this sweep ---
+    a_sel = sampling.gather_grid(
+        jnp.moveaxis(selected_grid, 0, -1), acoords[..., 0], acoords[..., 1]
+    )  # [N, 8, V]
+    sel_at_anchor = jnp.moveaxis(a_sel, -1, 0)[1:]  # [Vs, N, 8]
+
+    def deformed(plane):
+        return deformed_cost_vector(
+            ctx, weak_xy, plane, anchors, selected_grid, cfg,
+            wcols=wcols, sel_at_anchor=sel_at_anchor,
+        )
+
+    def geom(plane):
+        if wcols is not None and wcols.d is not None:
+            return _geom_cost_vector_cols(ctx, weak_xy, plane, wcols)
+        return ncc.geom_cost_vector(ctx, plane, xs=wx, ys=wy)
+
     # all 8 candidates in one fused batch: [8, N, 4] -> [V, 8, N] -> [8, V, N]
     cand_planes_b = jnp.moveaxis(cand_planes, 1, 0)
-    cost_array = jnp.moveaxis(
-        deformed_cost_vector(ctx, weak_xy, cand_planes_b, anchors, selected_grid, cfg),
-        0, 1,
-    )  # [8, V, N]
+    cost_array = jnp.moveaxis(deformed(cand_planes_b), 0, 1)  # [8, V, N]
     # aggregate-init quirk: invalid candidates contribute 0 (see propagation)
     cost_array = jnp.where(flag.T[:, None, :], cost_array, 0.0)
 
     # --- priors from anchors' selected views (APD.cu:1370-1384) ---
-    a_sel = sampling.gather_grid(
-        jnp.moveaxis(selected_grid, 0, -1), acoords[..., 0], acoords[..., 1]
-    )  # [N, 8, V]
     a_valid = (acoords[..., 0] >= 0)[..., None]
     priors = jnp.sum(
         jnp.where(a_valid, jnp.where(a_sel, 0.9, 0.1), 0.0), axis=1
@@ -684,9 +935,7 @@ def propagate_weak(
 
     # --- geometric consistency terms (APD.cu:1441-1447) ---
     if cfg.geom_consistency:
-        geom_arr = jnp.moveaxis(
-            ncc.geom_cost_vector(ctx, cand_planes_b, xs=wx, ys=wy), 0, 1
-        )  # [8, V, N]
+        geom_arr = jnp.moveaxis(geom(cand_planes_b), 0, 1)  # [8, V, N]
         geom_arr = jnp.where(
             flag.T[:, None, :], geom_arr, GEOM_COST_MAX
         )  # missing candidate -> penalty 3.0
@@ -701,11 +950,9 @@ def propagate_weak(
 
     # --- current-plane cost under the new weights ---
     cur_plane = sampling.gather_grid(planes_grid, weak_xy[..., 0], weak_xy[..., 1])
-    cv_now = deformed_cost_vector(ctx, weak_xy, cur_plane, anchors, selected_grid, cfg)
+    cv_now = deformed(cur_plane)
     if cfg.geom_consistency:
-        cv_now = cv_now + cfg.geom_factor * ncc.geom_cost_vector(
-            ctx, cur_plane, xs=wx, ys=wy
-        )
+        cv_now = cv_now + cfg.geom_factor * geom(cur_plane)
     cost_now = jnp.sum(weights * cv_now, axis=0) / jnp.maximum(weight_norm, 1e-30)
     cost_pre = cost_now
 
@@ -730,9 +977,9 @@ def propagate_weak(
     # --- weak refinement (APD.cu:892-980) ---
     def eval_plane(plane):
         """Weighted deformed cost; supports plane batch dims [..., N, 4]."""
-        cv = deformed_cost_vector(ctx, weak_xy, plane, anchors, selected_grid, cfg)
+        cv = deformed(plane)
         if cfg.geom_consistency:
-            cv = cv + cfg.geom_factor * ncc.geom_cost_vector(ctx, plane, xs=wx, ys=wy)
+            cv = cv + cfg.geom_factor * geom(plane)
         w_b = weights.reshape((weights.shape[0],) + (1,) * (cv.ndim - 2) + (weights.shape[1],))
         return jnp.sum(w_b * cv, axis=0) / jnp.maximum(weight_norm, 1e-30)
 
