@@ -33,25 +33,45 @@ import jax.numpy as jnp
 _BLOCK = 64
 
 
-def _gather_kernel(idx_ref, table_hbm, out_ref, sems):
-    """One program: DMA _BLOCK table rows picked by the prefetched indices
-    into the output block. No compute — the DMA engine does the gather."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _group_for(dtype) -> int:
+    """HBM row-group a DMA slice must be aligned to: Mosaic requires dim-0
+    slices of a tiled (8, 128) HBM memref to be 8-row aligned (16 for
+    packed bf16) — single-row DMAs do not compile on real hardware."""
+    return 16 if jnp.dtype(dtype).itemsize < 4 else 8
 
-    g = pl.program_id(0)
-    copies = []
-    for i in range(_BLOCK):
-        row = idx_ref[g * _BLOCK + i]
-        dma = pltpu.make_async_copy(
-            table_hbm.at[pl.ds(row, 1), :],
-            out_ref.at[pl.ds(i, 1), :],
-            sems.at[i],
-        )
-        dma.start()
-        copies.append(dma)
-    for dma in copies:
-        dma.wait()
+
+def _make_gather_kernel(group: int):
+    def kernel(idx_ref, table_hbm, out_ref, scratch, sems):
+        """One program: DMA the aligned GROUP-row block containing each of
+        the _BLOCK requested rows, then pick the wanted row with a one-hot
+        sublane reduce (dynamic single-row HBM slices are not tileable)."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        g = pl.program_id(0)
+
+        def dma(i):
+            row = idx_ref[g * _BLOCK + i]
+            base = (row // group) * group
+            return pltpu.make_async_copy(
+                table_hbm.at[pl.ds(base, group), :], scratch.at[i], sems.at[i]
+            )
+
+        for i in range(_BLOCK):
+            dma(i).start()
+        for i in range(_BLOCK):
+            dma(i).wait()
+            row = idx_ref[g * _BLOCK + i]
+            sub = row - (row // group) * group
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0) == sub
+            ).astype(jnp.float32)
+            picked = jnp.sum(
+                scratch[i].astype(jnp.float32) * onehot, axis=0, keepdims=True
+            )
+            out_ref[pl.ds(i, 1), :] = picked.astype(out_ref.dtype)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -60,20 +80,22 @@ def gather_rows(
     idx: jax.Array,  # [M] int32 row indices, M a multiple of _BLOCK
     interpret: bool | None = None,
 ) -> jax.Array:
-    """out[m] = table[idx[m]] via per-row DMA (the TPU-native worklist
-    gather: descriptors are issued by the scalar core, rows move at DMA
-    bandwidth — no VPU gather lowering involved)."""
+    """out[m] = table[idx[m]] via per-row-group DMA (the TPU-native
+    worklist gather: descriptors are issued by the scalar core, rows move
+    at DMA bandwidth — no VPU gather lowering involved)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     R, C = table.shape
+    group = _group_for(table.dtype)
     # lane-align the row width (full-table pad; no-op for the common
-    # V=5, K=160 -> C=640 configuration)
+    # V=5, K=160 -> C=640 configuration) and group-align the row count
     Cp = ((C + 127) // 128) * 128
-    if Cp != C:
-        table = jnp.pad(table, ((0, 0), (0, Cp - C)))
+    Rp = ((R + group - 1) // group) * group
+    if Cp != C or Rp != R:
+        table = jnp.pad(table, ((0, Rp - R), (0, Cp - C)))
     M = idx.shape[0]
     Mp = ((M + _BLOCK - 1) // _BLOCK) * _BLOCK
     if Mp != M:
@@ -87,10 +109,13 @@ def gather_rows(
         out_specs=pl.BlockSpec(
             (_BLOCK, Cp), lambda g, idx_ref: (g, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_BLOCK,))],
+        scratch_shapes=[
+            pltpu.VMEM((_BLOCK, group, Cp), table.dtype),
+            pltpu.SemaphoreType.DMA((_BLOCK,)),
+        ],
     )
     out = pl.pallas_call(
-        _gather_kernel,
+        _make_gather_kernel(group),
         out_shape=jax.ShapeDtypeStruct((Mp, Cp), table.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -82,9 +82,14 @@ def main():
     pw = jnp.concatenate(
         [jnp.asarray(normals[0]), jnp.asarray(depths[0])[..., None]], -1
     )
-    ps = jax.jit(
-        lambda: classify.depth_to_weak(ctx, pw, sel0, jnp.zeros((V, H, W)), 6, cfg)
-    )()
+    # NOTE: arrays must be jit ARGUMENTS, not closure captures — closed-over
+    # concrete arrays are baked into the program as constants and the axon
+    # remote_compile rejects the inflated body with HTTP 413 (PERF_NOTES.md).
+    d2w_j = jax.jit(
+        lambda ctx_, pw_, sel_, vw_, r: classify.depth_to_weak(ctx_, pw_, sel_, vw_, r, cfg),
+        static_argnums=(4,),
+    )
+    ps = d2w_j(ctx, pw, sel0, jnp.zeros((V, H, W)), 6)
     weak_count = int(np.sum(np.asarray(ps) == PixelState.WEAK))
     N = max(1 << int(np.ceil(np.log2(max(weak_count, 1)))), 1024)
     print(f"scene {W}x{H}x{V}v, weak {100.0*weak_count/(H*W):.1f}% -> capacity {N}")
@@ -95,7 +100,8 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # --- stage: nearest strong map ---
-    timeit("nearest_strong_map", jax.jit(lambda: weak.nearest_strong_map(ps)))
+    nsm_j = jax.jit(weak.nearest_strong_map)
+    timeit("nearest_strong_map", lambda: nsm_j(ps))
     # --- stage: probe ---
     probe_j = jax.jit(weak.probe_strong_points, static_argnames="rotate_time")
     found, spx, spy = timeit(
@@ -104,9 +110,14 @@ def main():
     )
     # --- stage: anchors total (probe + RANSAC + demote) ---
     anch_j = jax.jit(
-        lambda: weak.generate_anchors(ctx, jnp.asarray(depths[0]), ps, weak_xy, key, cfg, rth)
+        lambda ctx_, d_, ps_, wxy_, k_, rth_: weak.generate_anchors(
+            ctx_, d_, ps_, wxy_, k_, cfg, rth_
+        )
     )
-    anchors, ps2 = timeit("generate_anchors (total)", anch_j)
+    d0 = jnp.asarray(depths[0])
+    anchors, ps2 = timeit(
+        "generate_anchors (total)", lambda: anch_j(ctx, d0, ps, weak_xy, key, rth)
+    )
 
     # --- stage: recost init ---
     st = propagation.StrongState(
@@ -115,41 +126,56 @@ def main():
         selected=sel0,
         view_weights=jnp.zeros((V, H, W), jnp.float32),
     )
-    timeit(
-        "recost_selected_views",
-        jax.jit(lambda: ncc.recost_selected_views(ctx, planes0, sel0, 5, 2)),
-    )
+    recost_j = jax.jit(ncc.recost_selected_views, static_argnums=(3, 4))
+    timeit("recost_selected_views", lambda: recost_j(ctx, planes0, sel0, 5, 2))
 
     # --- stage: strong half-sweep ---
     it0 = jnp.asarray(0)
+    prop_j = jax.jit(
+        lambda ctx_, st_, ps_, it_, k_, c: propagation.propagate_strong_color(
+            ctx_, st_, ps_, it_, k_, cfg, color=c
+        ),
+        static_argnums=(5,),
+    )
     timeit(
-        "propagate_strong (1 half-sweep)",
-        jax.jit(lambda: propagation.propagate_strong_color(ctx, st, ps2, it0, key, cfg, color=0)),
+        "propagate_strong (1 half-sweep)", lambda: prop_j(ctx, st, ps2, it0, key, 0)
     )
 
     # --- weak sweep sub-stages ---
-    timeit(
-        "ransac_fit_planes",
-        jax.jit(lambda: weak.ransac_fit_planes(ctx, planes0, weak_xy, anchors, key)),
+    rfp_j = jax.jit(weak.ransac_fit_planes)
+    timeit("ransac_fit_planes", lambda: rfp_j(ctx, planes0, weak_xy, anchors, key))
+    pw_j = jax.jit(
+        lambda ctx_, st_, ps_, wxy_, a_, it_, k_: weak.propagate_weak(
+            ctx_, st_, ps_, wxy_, a_, it_, k_, cfg
+        )
     )
     timeit(
         "propagate_weak (1 sweep)",
-        jax.jit(lambda: weak.propagate_weak(ctx, st, ps2, weak_xy, anchors, it0, key, cfg)),
+        lambda: pw_j(ctx, st, ps2, weak_xy, anchors, it0, key),
     )
+    if vols is not None and vols.C36 is not None:
+        bwc_j = jax.jit(weak.build_weak_cols)
+        wcols = timeit(
+            "build_weak_cols (once/pass)", lambda: bwc_j(ctx, weak_xy, anchors)
+        )
+        pwc_j = jax.jit(
+            lambda ctx_, st_, ps_, wxy_, a_, it_, k_, wc_: weak.propagate_weak(
+                ctx_, st_, ps_, wxy_, a_, it_, k_, cfg, wcols=wc_
+            )
+        )
+        timeit(
+            "propagate_weak (cols, 1 sweep)",
+            lambda: pwc_j(ctx, st, ps2, weak_xy, anchors, it0, key, wcols),
+        )
 
     # --- classification + refine + filter ---
-    timeit(
-        "checkerboard_median_filter",
-        jax.jit(lambda: filters.checkerboard_median_filter(pw, st.costs, ps2)),
+    cmf_j = jax.jit(filters.checkerboard_median_filter)
+    timeit("checkerboard_median_filter", lambda: cmf_j(pw, st.costs, ps2))
+    timeit("depth_to_weak", lambda: d2w_j(ctx, pw, sel0, st.view_weights, 2))
+    lr_j = jax.jit(
+        lambda ctx_, pw_, sel_, vw_: classify.local_refine(ctx_, pw_, sel_, vw_, cfg)
     )
-    timeit(
-        "depth_to_weak",
-        jax.jit(lambda: classify.depth_to_weak(ctx, pw, sel0, st.view_weights, 2, cfg)),
-    )
-    timeit(
-        "local_refine",
-        jax.jit(lambda: classify.local_refine(ctx, pw, sel0, st.view_weights, cfg)),
-    )
+    timeit("local_refine", lambda: lr_j(ctx, pw, sel0, st.view_weights))
 
     # --- whole pass for reference ---
     prior = pipeline.PassState(
