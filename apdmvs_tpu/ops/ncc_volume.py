@@ -237,7 +237,18 @@ def ncc_volume_cost_view(
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        if jax.default_backend() == "cpu":
+            # CPU auto mode: interpret-mode Pallas execution is ~3 orders
+            # slower than the XLA mirror (72 s vs <1 s for one VGA call) —
+            # route through the mirror. Divergence from the TPU kernel is
+            # the sub-band clamp only (extreme-tilt hypotheses; see
+            # tests/test_ncc_volume.py). interpret=True forces the
+            # interpreter for kernel-equivalence tests.
+            return ncc_volume_cost_view_ref(
+                E_pad, ref_pad, planes, consts, num_slices,
+                radius=radius, increment=increment,
+            )
+        interpret = False
     C = planes.shape[0]
     H, W = planes.shape[2], planes.shape[3]
     K = E_pad.shape[0]
@@ -654,6 +665,53 @@ def _geom_kernel(
         cost_ref[c] = cost
 
 
+def geom_volume_cost_view_ref(
+    D: jax.Array,  # [K, H, W]
+    planes: jax.Array,  # [C, 4, H, W]
+    consts: jax.Array,  # [1, _NGEOM]
+    num_slices: int,
+) -> jax.Array:
+    """Pure-XLA mirror of :func:`geom_volume_cost_view` (exact
+    nearest-slice selection; the kernel's per-tile sub-band clamp can
+    diverge on extreme-tilt hypotheses only)."""
+    C, _, H, W = planes.shape
+    fx, fy, cx, cy, u_min, du = (consts[0, m] for m in range(6))
+    M = consts[0, 6:15].reshape(3, 3)
+    b = consts[0, 15:18]
+    A = consts[0, 18:27].reshape(3, 3)
+    t2 = consts[0, 27:30]
+    src_w, src_h = consts[0, 30], consts[0, 31]
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dirx = (xs - cx) / fx
+    diry = (ys - cy) / fy
+    out = []
+    for c in range(C):
+        n = planes[c]
+        u = -(n[0] * dirx + n[1] * diry + n[2]) / n[3]
+        k = jnp.clip((u - u_min) / du, 0.0, num_slices - 1.0)
+        ri = jnp.round(k).astype(jnp.int32)
+        sd = jnp.take_along_axis(D, ri[None], axis=0)[0].astype(jnp.float32)
+        qx = M[0, 0] * dirx + M[0, 1] * diry + M[0, 2] + b[0] * u
+        qy = M[1, 0] * dirx + M[1, 1] * diry + M[1, 2] + b[1] * u
+        qz = M[2, 0] * dirx + M[2, 1] * diry + M[2, 2] + b[2] * u
+        px = qx / qz
+        py = qy / qz
+        oob = (px < 0.0) | (px >= src_w) | (py < 0.0) | (py >= src_h)
+        rx_ = A[0, 0] * px + A[0, 1] * py + A[0, 2]
+        ry_ = A[1, 0] * px + A[1, 1] * py + A[1, 2]
+        rz_ = A[2, 0] * px + A[2, 1] * py + A[2, 2]
+        bx = (sd * rx_ + t2[0]) / (sd * rz_ + t2[2])
+        by = (sd * ry_ + t2[1]) / (sd * rz_ + t2[2])
+        err = jnp.sqrt((xs - bx) ** 2 + (ys - by) ** 2)
+        cost = jnp.minimum(err, GEOM_COST_MAX)
+        out.append(jnp.where((sd == 0.0) | oob, GEOM_COST_MAX, cost))
+    return jnp.stack(out)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_slices", "interpret")
 )
@@ -669,7 +727,11 @@ def geom_volume_cost_view(
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        if jax.default_backend() == "cpu":
+            # CPU auto mode: XLA mirror (exact nearest-slice, no sub-band
+            # clamp); interpret=True forces the Pallas interpreter.
+            return geom_volume_cost_view_ref(D, planes, consts, num_slices)
+        interpret = False
     C = planes.shape[0]
     H, W = planes.shape[2], planes.shape[3]
     K = D.shape[0]
@@ -841,53 +903,70 @@ def ncc_volume_cost_view_ref(
     increment: int = 2,
 ) -> jax.Array:
     """Pure-XLA mirror of the kernel (full-range interpolation, no
-    sub-band clamping)."""
-    from apdmvs_tpu.ops import volume as vol
+    sub-band clamping).
 
+    Structured compile-friendly: a ``lax.scan`` over the window offsets
+    with candidates vectorized, so the jaxpr stays small — this is also
+    the production CPU path (auto-redirect in ncc_volume_cost_view), not
+    just a test oracle."""
     C, _, H, W = planes.shape
+    K = E_pad.shape[0]
     fx, fy, cx, cy, u_min, du = (consts[0, m] for m in range(6))
     M = consts[0, 6:15].reshape(3, 3)
     b = consts[0, 15:18]
     src_w, src_h = consts[0, 18], consts[0, 19]
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
-    offsets = _offsets(radius, increment)
-    S = float(len(offsets))
+    offsets = jnp.asarray(_offsets(radius, increment), jnp.int32)  # [S, 2]
+    S = float(offsets.shape[0])
+    n = planes[:, :3]  # [C, 3, H, W]
+    w = planes[:, 3]  # [C, H, W]
 
-    out = []
-    for c in range(C):
-        n = jnp.moveaxis(planes[c, :3], 0, -1)
-        w = planes[c, 3]
-        s_r = s_rr = s_s = s_ss = s_rs = 0.0
-        for (dx, dy) in offsets:
-            dirx = (xs + dx - cx) / fx
-            diry = (ys + dy - cy) / fy
-            u = -(n[..., 0] * dirx + n[..., 1] * diry + n[..., 2]) / w
-            k = jnp.clip((u - u_min) / du, 0.0, num_slices - 1.0)
-            E_sh = E_pad[
-                :, PAD_Y + dy : PAD_Y + dy + H, PAD_X + dx : PAD_X + dx + W
-            ]
-            sv = vol.volume_sample_ref(E_sh, k)
-            rv = ref_pad[PAD_Y + dy : PAD_Y + dy + H, PAD_X + dx : PAD_X + dx + W]
-            s_r = s_r + rv
-            s_rr = s_rr + rv * rv
-            s_s = s_s + sv
-            s_ss = s_ss + sv * sv
-            s_rs = s_rs + rv * sv
-        inv = 1.0 / S
-        mr, ms = s_r * inv, s_s * inv
-        var_r = s_rr * inv - mr * mr
-        var_s = s_ss * inv - ms * ms
-        cov = s_rs * inv - mr * ms
-        cost = jnp.clip(1.0 - cov * jax.lax.rsqrt(jnp.maximum(var_r * var_s, 1e-30)),
-                        0.0, COST_MAX)
-        cost = jnp.where((var_r < MIN_VAR) | (var_s < MIN_VAR), COST_MAX, cost)
-        dirx = (xs - cx) / fx
-        diry = (ys - cy) / fy
-        u_c = -(n[..., 0] * dirx + n[..., 1] * diry + n[..., 2]) / w
-        qx = M[0, 0] * dirx + M[0, 1] * diry + M[0, 2] + b[0] * u_c
-        qy = M[1, 0] * dirx + M[1, 1] * diry + M[1, 2] + b[1] * u_c
-        qz = M[2, 0] * dirx + M[2, 1] * diry + M[2, 2] + b[2] * u_c
-        oob = (qx / qz < 0) | (qx / qz >= src_w) | (qy / qz < 0) | (qy / qz >= src_h)
-        out.append(jnp.where(oob, COST_MAX, cost))
-    return jnp.stack(out)
+    def body(carry, off):
+        s_r, s_rr, s_s, s_ss, s_rs = carry
+        dx, dy = off[0], off[1]
+        dxf = dx.astype(jnp.float32)
+        dyf = dy.astype(jnp.float32)
+        dirx = (xs + dxf - cx) / fx
+        diry = (ys + dyf - cy) / fy
+        u = -(n[:, 0] * dirx + n[:, 1] * diry + n[:, 2]) / w  # [C, H, W]
+        k = jnp.clip((u - u_min) / du, 0.0, num_slices - 1.0)
+        E_sh = jax.lax.dynamic_slice(
+            E_pad, (0, PAD_Y + dy, PAD_X + dx), (K, H, W)
+        )
+        k0 = jnp.floor(k).astype(jnp.int32)
+        k1 = jnp.minimum(k0 + 1, K - 1)
+        f = k - k0.astype(jnp.float32)
+        e0 = jax.vmap(
+            lambda kk: jnp.take_along_axis(E_sh, kk[None], axis=0)[0]
+        )(k0).astype(jnp.float32)
+        e1 = jax.vmap(
+            lambda kk: jnp.take_along_axis(E_sh, kk[None], axis=0)[0]
+        )(k1).astype(jnp.float32)
+        sv = e0 * (1.0 - f) + e1 * f  # [C, H, W]
+        rv = jax.lax.dynamic_slice(ref_pad, (PAD_Y + dy, PAD_X + dx), (H, W))
+        return (
+            s_r + rv, s_rr + rv * rv, s_s + sv, s_ss + sv * sv, s_rs + rv * sv
+        ), None
+
+    zc = jnp.zeros((C, H, W), jnp.float32)
+    z = jnp.zeros((H, W), jnp.float32)
+    (s_r, s_rr, s_s, s_ss, s_rs), _ = jax.lax.scan(
+        body, (z, z, zc, zc, zc), offsets
+    )
+    inv = 1.0 / S
+    mr, ms = s_r * inv, s_s * inv
+    var_r = s_rr * inv - mr * mr
+    var_s = s_ss * inv - ms * ms
+    cov = s_rs * inv - mr * ms
+    cost = jnp.clip(1.0 - cov * jax.lax.rsqrt(jnp.maximum(var_r * var_s, 1e-30)),
+                    0.0, COST_MAX)
+    cost = jnp.where((var_r < MIN_VAR) | (var_s < MIN_VAR), COST_MAX, cost)
+    dirx = (xs - cx) / fx
+    diry = (ys - cy) / fy
+    u_c = -(n[:, 0] * dirx + n[:, 1] * diry + n[:, 2]) / w  # [C, H, W]
+    qx = M[0, 0] * dirx + M[0, 1] * diry + M[0, 2] + b[0] * u_c
+    qy = M[1, 0] * dirx + M[1, 1] * diry + M[1, 2] + b[1] * u_c
+    qz = M[2, 0] * dirx + M[2, 1] * diry + M[2, 2] + b[2] * u_c
+    oob = (qx / qz < 0) | (qx / qz >= src_w) | (qy / qz < 0) | (qy / qz >= src_h)
+    return jnp.where(oob, COST_MAX, cost)

@@ -51,11 +51,14 @@ def build_volume(
     du,
     num_slices: int,
     dtype=jnp.float32,
+    trunc: bool = False,
 ) -> jax.Array:
     """E [K, H, W]: slice k = src warped by the global inverse-depth-u_k
     homography. Border-clamped bilinear sampling; the analytic
     out-of-bounds test lives in the *evaluator* (matching the reference's
     cost_max policy, APD.cu:541-613) so the volume itself is dense.
+    ``trunc`` floors the warped coords first (the depth-texture nearest
+    read, APD.cu:770-772), matching the Pallas builder's trunc mode.
 
     This is the slow-but-simple XLA build (K*H*W gathers, amortized over a
     whole pass: the volume depends only on (view pair, scale, depth grid),
@@ -68,6 +71,9 @@ def build_volume(
         q = Md + b * u
         x = q[..., 0] / q[..., 2]
         y = q[..., 1] / q[..., 2]
+        if trunc:
+            x = jnp.floor(x)
+            y = jnp.floor(y)
         return sampling.bilinear_sample(src_image, x, y).astype(dtype)
 
     return jax.lax.map(slice_k, jnp.arange(num_slices))
@@ -86,6 +92,7 @@ def build_volume_padded(
     pad_y: int,
     pad_x: int,
     dtype=jnp.bfloat16,
+    trunc: bool = False,
 ) -> jax.Array:
     """Volume over the spatially padded ref pixel grid
     ([-pad_y, H+pad_y) x [-pad_x, W+pad_x)) so kernel halo samples are
@@ -100,7 +107,9 @@ def build_volume_padded(
         - pad_x
     )
     dirs = geometry.pixel_dirs(K0, x, y)
-    return build_volume(src_image, M, b, dirs, u_min, du, num_slices, dtype=dtype)
+    return build_volume(
+        src_image, M, b, dirs, u_min, du, num_slices, dtype=dtype, trunc=trunc
+    )
 
 
 _WIN_H = 24  # window origin is aligned down to 8 rows -> up to 7 wasted
@@ -264,7 +273,16 @@ def build_volume_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        if jax.default_backend() == "cpu":
+            # CPU auto mode: the interpret-mode Pallas builder is ~100x
+            # slower than the XLA build — use the exact XLA path. Pass
+            # interpret=True explicitly to force the interpreter (kernel
+            # equivalence tests only).
+            return build_volume_padded(
+                src_image, M, b, K0, height, width, u_min, du, num_slices,
+                pad_y=pad_y, pad_x=pad_x, dtype=dtype, trunc=trunc,
+            )
+        interpret = False
     PH = height + 2 * pad_y
     PW = width + 2 * pad_x
     assert PH % 8 == 0 and PW % 128 == 0
