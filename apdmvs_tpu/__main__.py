@@ -52,6 +52,14 @@ def main() -> None:
         "interval * 192 + depth_min (reference: APD.cpp:84-89)",
     )
     ap.add_argument(
+        "--debug-dumps",
+        action="store_true",
+        help="persist the DEBUG_NEIGHBOUR / DEBUG_COST_LINE probe files "
+        "(neighbour_map.bin, neighbour.bin, weak_cost_line.dmb) per pass "
+        "(the reference's compiled-out probes, main.h:42-43; sequential "
+        "runner only)",
+    )
+    ap.add_argument(
         "--volume-cache-gb", type=float, default=6.0,
         help="HBM byte budget for the per-(problem, scale) image-volume "
         "cache (amortizes builds across each round's 4 passes)",
@@ -59,8 +67,9 @@ def main() -> None:
     ap.add_argument(
         "--no-volumes",
         action="store_true",
-        help="disable the Pallas plane-sweep-volume fast path (sequential "
-        "runner only; default: on for TPU, off for CPU)",
+        help="disable the Pallas plane-sweep-volume fast path "
+        "(default: on for TPU, off for CPU; for --batched: on when "
+        "--space-shards is 1)",
     )
     ap.add_argument(
         "--batched",
@@ -76,6 +85,16 @@ def main() -> None:
         "--space-shards", type=int, default=1,
         help="device-mesh spatial-axis size for --batched",
     )
+    ap.add_argument(
+        "--coordinator", default=None,
+        help="multi-host: coordinator address host:port for "
+        "jax.distributed.initialize; run the same command on every host "
+        "with --num-processes/--process-id (or export APD_COORDINATOR / "
+        "APD_NUM_PROCESSES / APD_PROCESS_ID). TPU pods with cluster "
+        "auto-detection need none of these.",
+    )
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument(
         "--platform",
         default=None,
@@ -96,6 +115,14 @@ def main() -> None:
             if need > 1:
                 jax.config.update("jax_num_cpu_devices", need)
 
+    from apdmvs_tpu.parallel import multihost
+
+    multihost.maybe_initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
     from apdmvs_tpu import scene
 
     if args.batched:
@@ -110,6 +137,7 @@ def main() -> None:
             n_space_shards=args.space_shards,
             camera_model=args.camera_model,
             show_medium_result=args.show_medium_result,
+            use_volumes=False if args.no_volumes else None,
         )
     else:
         scene.run_scene(
@@ -124,6 +152,7 @@ def main() -> None:
             camera_model=args.camera_model,
             allow_missing_prior=args.allow_missing_prior,
             volume_cache_gb=args.volume_cache_gb,
+            debug_dumps=args.debug_dumps,
         )
 
 

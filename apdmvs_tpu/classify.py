@@ -106,10 +106,13 @@ def depth_to_weak(
     view_weights: jax.Array,
     weak_peak_radius: int,
     cfg: PassConfig,
+    return_sweep: bool = False,
 ) -> jax.Array:
     """Reclassify every pixel from its depth cost curve (APD.cu:1990-2144).
 
-    planes_world: [H, W, 4] = (world normal, depth). Returns pixel_state u8.
+    planes_world: [H, W, 4] = (world normal, depth). Returns pixel_state u8;
+    with ``return_sweep`` also the [61, H, W] disparity cost sweep (the
+    DEBUG_COST_LINE probe buffer, APD.cu:2084-2091).
     """
     H, W = ctx.height, ctx.width
     K0 = ctx.cams.K[0]
@@ -177,7 +180,8 @@ def depth_to_weak(
     ).astype(jnp.uint8)
 
     unknown = margin | (origin_depth == 0) | (valid_cnt == 0)
-    return jnp.where(unknown, jnp.uint8(PixelState.UNKNOWN), state)
+    out = jnp.where(unknown, jnp.uint8(PixelState.UNKNOWN), state)
+    return (out, p_costs) if return_sweep else out
 
 
 def local_refine(

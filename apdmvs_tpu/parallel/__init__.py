@@ -8,6 +8,7 @@ sharded spatially, and the geometric-consistency pass's cross-view depth
 exchange rides XLA collectives over ICI instead of disk round-trips.
 """
 
+from apdmvs_tpu.parallel import multihost  # noqa: F401
 from apdmvs_tpu.parallel.sharded import (  # noqa: F401
     make_mesh,
     shard_problems,

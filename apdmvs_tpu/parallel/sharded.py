@@ -112,6 +112,85 @@ def gather_depth_maps(outputs: pipeline.PassOutputs) -> jax.Array:
     return outputs.depth
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "weak_capacity", "use_geom", "num_slices", "mesh"),
+)
+def _volume_batched_pass(
+    images: jax.Array,  # [N, V, H, W]
+    cams: Cameras,  # fields [N, V, ...]
+    src_valid: jax.Array,  # [N, V]
+    prior: pipeline.PassState,  # fields [N, ...]
+    keys: jax.Array,  # [N, 2]
+    ransac_threshold: jax.Array,  # [N]
+    all_depths: jax.Array,  # [N, H, W]
+    src_index: jax.Array,  # [N, V]
+    cfg: PassConfig,
+    weak_capacity: int,
+    use_geom: bool,
+    num_slices: int,
+    mesh: Mesh,
+) -> pipeline.PassOutputs:
+    """View-sharded batched pass on the Pallas volume fast path.
+
+    Unlike :func:`_batched_pass` (vmap over problems), each view shard
+    runs a ``lax.scan`` over its local problems: the per-problem volume
+    set ([V, K, PH, PW] image + cost volumes) is built *inside* the scan
+    body, so only ONE problem's volumes are live per device at a time —
+    the memory-bounded per-problem staging of SURVEY.md §7 step 7 — and
+    every Pallas kernel runs unbatched, exactly as in the sequential
+    runner. The cross-shard depth exchange is an explicit
+    ``all_gather`` over the view axis (the reference's filesystem
+    round-trip, APD.cpp:492-510, as one ICI collective).
+    """
+    from apdmvs_tpu import ncc
+
+    P_view = P("view")
+    n_prob = jax.tree.map(lambda _: P_view, prior)
+    out_specs = jax.tree.map(lambda _: P_view, pipeline.PassOutputs(0, 0, 0, 0, 0))
+
+    def shard_body(
+        images_l, cams_l, valid_l, prior_l, keys_l, rth_l, depths_l, srcidx_l
+    ):
+        depth_full = (
+            jax.lax.all_gather(depths_l, "view", axis=0, tiled=True)
+            if use_geom
+            else None
+        )
+
+        def body(carry, xs):
+            images_i, cams_i, valid_i, prior_i, key_i, rth_i, srcidx_i = xs
+            dmin = cams_i.depth_min[0]
+            dmax = cams_i.depth_max[0]
+            dm_i = (
+                jnp.take(depth_full, srcidx_i, axis=0) if use_geom else None
+            )  # [V, H, W]
+            vols = ncc.build_volume_set(
+                images_i, cams_i, dmin, dmax, num_slices=num_slices,
+                depth_maps=dm_i, weak_cost_volumes=cfg.use_APD,
+            )
+            out = pipeline.patchmatch_pass_impl(
+                images_i, cams_i, valid_i, prior_i, key_i, cfg, rth_i,
+                depth_maps=dm_i, weak_capacity=weak_capacity, volumes=vols,
+            )
+            return carry, out
+
+        _, outs = jax.lax.scan(
+            body, 0, (images_l, cams_l, valid_l, prior_l, keys_l, rth_l, srcidx_l)
+        )
+        return outs
+
+    return jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P_view, jax.tree.map(lambda _: P_view, cams), P_view,
+                  n_prob, P_view, P_view, P_view, P_view),
+        out_specs=out_specs,
+        check_vma=False,
+    )(images, cams, src_valid, prior, keys, ransac_threshold,
+      all_depths, src_index)
+
+
 def sharded_batch_pass(
     mesh: Mesh,
     images: jax.Array,
@@ -124,6 +203,8 @@ def sharded_batch_pass(
     weak_capacity: int = 0,
     all_depths: Optional[jax.Array] = None,
     src_index: Optional[jax.Array] = None,
+    use_volumes: bool = False,
+    num_slices: int = 160,
 ) -> pipeline.PassOutputs:
     """Run one pass for a batch of N reference views, view+space sharded.
 
@@ -133,12 +214,32 @@ def sharded_batch_pass(
     ``src_index`` [N, V] mapping each problem's view slot to the problem
     index owning that view (slot 0 / padding -> own index; they are masked
     out by ``src_valid`` anyway).
+
+    ``use_volumes`` routes through :func:`_volume_batched_pass` (the Pallas
+    fast path, one problem's volumes resident per device at a time); it
+    requires a view-only mesh (space axis size 1) since volumes cover the
+    full image.
     """
     img_s, cams_s, prior_s, out_s = _batch_specs(mesh)
     use_geom = all_depths is not None
     N, V, H, W = images.shape
+    if use_volumes and mesh.shape["space"] != 1:
+        raise ValueError(
+            "use_volumes=True requires a view-only mesh (n_space == 1); "
+            "plane-sweep volumes cover the full image"
+        )
 
     def put(x, spec):
+        if jax.process_count() > 1:
+            # multi-host: host inputs (and process-local arrays, e.g. the
+            # eagerly computed keys) are identical on every process — a
+            # shared-FS scene — so upload only this host's shards; arrays
+            # already global (the device-resident prior/depths) pass through
+            if not isinstance(x, jax.Array) or x.is_fully_addressable:
+                from apdmvs_tpu.parallel import multihost
+
+                return multihost.global_batch(mesh, spec, np.asarray(x))
+            return x
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     images = put(images, img_s)
@@ -163,6 +264,12 @@ def sharded_batch_pass(
         src_index = put(jnp.zeros((N, V), jnp.int32), P("view", None))
 
     with mesh:
+        if use_volumes:
+            return _volume_batched_pass(
+                images, cams, src_valid, prior, keys, ransac_threshold,
+                all_depths, src_index, cfg, weak_capacity, use_geom,
+                num_slices, mesh,
+            )
         return _batched_pass(
             images, cams, src_valid, prior, keys, ransac_threshold,
             all_depths, src_index, cfg, weak_capacity, use_geom,

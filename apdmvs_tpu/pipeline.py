@@ -52,6 +52,17 @@ class PassOutputs(NamedTuple):
     costs: jax.Array
 
 
+class DebugProbes(NamedTuple):
+    """The reference's compiled-out debug probes (main.h:42-43) as optional
+    pass outputs: the weak worklist + anchors (DEBUG_NEIGHBOUR,
+    APD.cu:2421-2438) and the DepthToWeak disparity cost sweep
+    (DEBUG_COST_LINE, APD.cu:2084-2091). Persisted by debug.dump_probes."""
+
+    weak_xy: Optional[jax.Array]  # [N, 2] int (x, y), -1 padding
+    anchor_coords: Optional[jax.Array]  # [N, 9, 2] (slot 0 = self)
+    sweep: jax.Array  # [61, H, W] classification cost curves
+
+
 def patchmatch_pass_impl(
     images: jax.Array,  # [V, H, W] f32
     cams: Cameras,  # ref depth range pre-scaled by 0.6/1.2 (APD.cpp:454-455)
@@ -63,8 +74,12 @@ def patchmatch_pass_impl(
     depth_maps: Optional[jax.Array] = None,  # [V, H, W] for geom passes
     weak_capacity: int = 0,
     volumes: Optional[ncc.VolumeSet] = None,  # Pallas fast-path volumes
+    debug: bool = False,
 ) -> PassOutputs:
-    """One full pass over one reference view. See module docstring."""
+    """One full pass over one reference view. See module docstring.
+
+    ``debug`` additionally returns :class:`DebugProbes` (a second tuple
+    element); it changes only the outputs, never the pass computation."""
     V, H, W = images.shape
     ctx = ncc.make_context(images, cams, src_valid, depth_maps, volumes=volumes)
     depth_min = cams.depth_min[0]
@@ -150,28 +165,38 @@ def patchmatch_pass_impl(
 
     # ---- DepthToWeak reclassification (APD.cu:1990-2144) ----
     new_state = classify.depth_to_weak(
-        ctx, planes_world, st.selected, st.view_weights, cfg.weak_peak_radius, cfg
+        ctx, planes_world, st.selected, st.view_weights, cfg.weak_peak_radius,
+        cfg, return_sweep=debug,
     )
+    if debug:
+        new_state, sweep = new_state
 
     # ---- LocalRefine (APD.cu:2146-2232) ----
     planes_world = classify.local_refine(
         ctx, planes_world, st.selected, st.view_weights, cfg
     )
 
-    return PassOutputs(
+    out = PassOutputs(
         depth=planes_world[..., 3],
         normal_world=planes_world[..., :3],
         pixel_state=new_state,
         selected=st.selected,
         costs=st.costs,
     )
+    if debug:
+        return out, DebugProbes(
+            weak_xy=weak_xy,
+            anchor_coords=anchors.coords if anchors is not None else None,
+            sweep=sweep,
+        )
+    return out
 
 
 #: Jitted entry used by the host orchestrator (scene.py). The raw
 #: implementation stays exposed for vmap/shard_map composition (parallel/)
 #: and for the driver's compile checks (__graft_entry__.py).
 patchmatch_pass = jax.jit(
-    patchmatch_pass_impl, static_argnames=("cfg", "weak_capacity")
+    patchmatch_pass_impl, static_argnames=("cfg", "weak_capacity", "debug")
 )
 
 

@@ -297,12 +297,15 @@ def process_problem(
     use_volumes: bool = False,
     num_slices: int = 160,
     allow_missing_prior: bool = False,
+    debug_dumps: bool = False,
 ) -> "ProblemStats":
     """One (view, pass): the reference's ProcessProblem (main.cpp:91-138).
 
     Loads inputs, runs the jitted PatchMatch pass, clamps out-of-range
     depths, persists the four state files. Returns per-problem stats
-    (wall-clock seconds, weak percentage).
+    (wall-clock seconds, weak percentage). ``debug_dumps`` additionally
+    persists the DEBUG_NEIGHBOUR / DEBUG_COST_LINE probe files
+    (apdmvs_tpu.debug).
     """
     t0 = time.time()
     # capture before any per-problem spec downgrade (weak_capacity == 0,
@@ -413,7 +416,13 @@ def process_problem(
         depth_maps=depth_maps,
         weak_capacity=weak_capacity,
         volumes=volumes,
+        debug=debug_dumps,
     )
+    if debug_dumps:
+        from apdmvs_tpu import debug as debug_mod
+
+        out, probes = out
+        debug_mod.dump_probes(problem.result_folder, probes, H, W)
     out = pipeline.clamp_outputs(out, dmin, dmax)
 
     # ---- persist (main.cpp:117-124) + in-memory mirror ----
@@ -464,6 +473,8 @@ def run_scene_batched(
     camera_model: str = "eth",
     show_medium_result: bool = False,
     verbose: bool = True,
+    use_volumes: Optional[bool] = None,
+    num_slices: int = 160,
 ) -> str:
     """Batched/sharded reconstruction: all reference views of a pass run as
     ONE jitted program over a (view, space) device mesh.
@@ -474,10 +485,27 @@ def run_scene_batched(
     maps stay device-resident, and geometric-consistency passes gather
     source-view depths through XLA collectives. Files are still persisted
     per pass (the checkpoint/resume contract).
+
+    ``use_volumes`` (default: on when the mesh has no space axis) runs each
+    shard's problems through the Pallas plane-sweep-volume fast path, one
+    problem's volumes resident per device at a time
+    (parallel.sharded._volume_batched_pass).
+
+    Multi-host: call ``parallel.multihost.maybe_initialize()`` (or export
+    APD_COORDINATOR/APD_NUM_PROCESSES/APD_PROCESS_ID — the CLI does this)
+    before this function and run it identically on every process. The mesh
+    then spans all hosts' devices, each host uploads/persists only its
+    addressable problem rows, and process 0 runs fusion. The scene folder
+    must be on a filesystem every host can read and each owned result
+    folder writable by its owner (the reference's own multi-GPU deployment
+    assumption, main.cpp:148-153, minus its by-hand scene splitting).
     """
     import jax.numpy as jnp
 
     from apdmvs_tpu import parallel
+    from apdmvs_tpu.parallel import multihost
+
+    multi = jax.process_count() > 1
 
     dense_folder = str(dense_folder)
     problems = generate_sample_list(dense_folder)
@@ -502,6 +530,41 @@ def run_scene_batched(
         n_view_shards = min(n_view_shards, Np)
     mesh = parallel.make_mesh(n_view=n_view_shards, n_space=n_space_shards)
     N = ((Np + n_view_shards - 1) // n_view_shards) * n_view_shards  # padded
+    owned_rows = (
+        multihost.addressable_problems(mesh, N) if multi else np.arange(N)
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # small per-problem reductions whose values drive host-side decisions
+    # must come back fully replicated so every process can read them and
+    # take the same branch
+    _repl = NamedSharding(mesh, P())
+    _weak_counts = jax.jit(
+        lambda ps: jnp.sum(ps == PixelState.WEAK, axis=(1, 2)),
+        out_shardings=_repl,
+    )
+    _any_pos = jax.jit(lambda d: jnp.any(d > 0), out_shardings=_repl)
+    _weak_pct = jax.jit(
+        lambda ps, n: 100.0 * jnp.mean(ps[:n] == PixelState.WEAK),
+        static_argnums=1, out_shardings=_repl,
+    )
+
+    @jax.jit
+    def _clamp(out, dmin_col, dmax_col):
+        # out-of-range depths -> 0 / UNKNOWN (main.cpp:105-115)
+        bad = (out.depth < dmin_col[..., None]) | (out.depth > dmax_col[..., None])
+        return pipeline.PassState(
+            depth=jnp.where(bad, 0.0, out.depth),
+            normal_world=out.normal_world,
+            pixel_state=jnp.where(
+                bad, jnp.uint8(PixelState.UNKNOWN), out.pixel_state
+            ),
+            selected=out.selected,
+        )
+    if use_volumes is None:
+        # volumes need whole images per problem (no space axis); interpret-
+        # mode Pallas on CPU is test-only, so default off there too
+        use_volumes = n_space_shards == 1 and jax.default_backend() != "cpu"
 
     root_key = jax.random.PRNGKey(seed)
     state: Optional[pipeline.PassState] = None  # batched [N, ...]
@@ -563,102 +626,130 @@ def run_scene_batched(
                     geom_consistency=False,
                 )
             prior = pipeline.PassState(
-                depth=jnp.zeros((N, H, W), jnp.float32),
-                normal_world=jnp.zeros((N, H, W, 3), jnp.float32),
-                pixel_state=jnp.full((N, H, W), PixelState.STRONG, jnp.uint8),
-                selected=jnp.zeros((N, V, H, W), bool),
+                depth=np.zeros((N, H, W), np.float32),
+                normal_world=np.zeros((N, H, W, 3), np.float32),
+                pixel_state=np.full((N, H, W), PixelState.STRONG, np.uint8),
+                selected=np.zeros((N, V, H, W), bool),
             )
         else:
-            prev_hw = state.depth.shape[1:]
+            prev_hw = state.depth.shape[1:3]
             if prev_hw != (H, W):
-                depth = np.stack(
-                    [imio.resize_nearest(np.asarray(d), W, H) for d in state.depth]
-                )
-                normal = np.stack(
-                    [imio.resize_nearest(np.asarray(x), W, H) for x in state.normal_world]
-                )
-                ps = np.stack(
-                    [imio.resize_nearest(np.asarray(x), W, H) for x in state.pixel_state]
-                )
-                sel = np.stack(
-                    [
-                        np.stack(
-                            [imio.resize_nearest(np.asarray(s), W, H) for s in problem_sel]
+                # nearest-neighbor resample of the prior state to the new
+                # pyramid level (APD.cpp:552-581); each host resizes only
+                # its own problem rows
+                host_rows = {
+                    name: multihost.fetch_rows(arr, owned_rows)
+                    for name, arr in (
+                        ("depth", state.depth),
+                        ("normal", state.normal_world),
+                        ("ps", state.pixel_state),
+                        ("sel", state.selected),
+                    )
+                }
+
+                def rz(name, i):
+                    x = host_rows[name][i]
+                    if name == "sel":
+                        return np.stack(
+                            [imio.resize_nearest(s, W, H) for s in x]
                         )
-                        for problem_sel in np.asarray(state.selected)
-                    ]
-                )
-                prior = pipeline.PassState(
-                    depth=jnp.asarray(depth),
-                    normal_world=jnp.asarray(normal),
-                    pixel_state=jnp.asarray(ps),
-                    selected=jnp.asarray(sel),
-                )
+                    return imio.resize_nearest(x, W, H)
+
+                img_sp = P("view", None, "space", None)
+                p2d = P("view", "space", None)
+                v3 = P("view", "space", None, None)
+                if multi:
+                    prior = pipeline.PassState(
+                        depth=multihost.rebuild_global(
+                            mesh, p2d, (N, H, W), np.float32,
+                            lambda i: rz("depth", i),
+                        ),
+                        normal_world=multihost.rebuild_global(
+                            mesh, v3, (N, H, W, 3), np.float32,
+                            lambda i: rz("normal", i),
+                        ),
+                        pixel_state=multihost.rebuild_global(
+                            mesh, p2d, (N, H, W), np.uint8,
+                            lambda i: rz("ps", i),
+                        ),
+                        selected=multihost.rebuild_global(
+                            mesh, img_sp, (N, V, H, W), bool,
+                            lambda i: rz("sel", i),
+                        ),
+                    )
+                else:
+                    prior = pipeline.PassState(
+                        depth=np.stack([rz("depth", i) for i in range(N)]),
+                        normal_world=np.stack(
+                            [rz("normal", i) for i in range(N)]
+                        ),
+                        pixel_state=np.stack([rz("ps", i) for i in range(N)]),
+                        selected=np.stack([rz("sel", i) for i in range(N)]),
+                    )
             else:
                 prior = state
 
         # ---- uniform weak capacity across the batch ----
         weak_capacity = 0
         if eff.use_APD:
-            counts = np.asarray(
-                jnp.sum(prior.pixel_state == PixelState.WEAK, axis=(1, 2))
-            )
+            # replicated reduction: every process reads the same counts
+            # and takes the same branch
+            counts = np.asarray(_weak_counts(prior.pixel_state))
             cmax = int(counts.max())
             weak_capacity = _bucket_capacity(cmax, H * W)
             if weak_capacity == 0:
                 eff = dataclasses.replace(eff, use_APD=False)
 
         all_depths = prior.depth if eff.geom_consistency else None
-        if eff.geom_consistency and not np.asarray(jnp.any(all_depths > 0)):
+        if eff.geom_consistency and not bool(np.asarray(_any_pos(all_depths))):
             eff = dataclasses.replace(eff, geom_consistency=False)
             all_depths = None
 
-        keys = jax.vmap(
-            lambda n: jax.random.fold_in(
-                jax.random.fold_in(root_key, spec.pass_index), n
-            )
-        )(jnp.arange(N))
-        rth = jnp.full((N,), eff.ransac_threshold, jnp.float32)
+        keys = np.asarray(
+            jax.vmap(
+                lambda n: jax.random.fold_in(
+                    jax.random.fold_in(root_key, spec.pass_index), n
+                )
+            )(jnp.arange(N))
+        )
+        rth = np.full((N,), eff.ransac_threshold, np.float32)
 
         cfg = PassConfig.from_spec(eff)
         out = parallel.sharded_batch_pass(
-            mesh, jnp.asarray(imgs), cams_b, jnp.asarray(src_valid), prior,
+            mesh, imgs, cams_b, src_valid, prior,
             keys, rth, cfg, weak_capacity=weak_capacity,
             all_depths=all_depths,
-            src_index=jnp.asarray(src_index) if all_depths is not None else None,
+            src_index=src_index if all_depths is not None else None,
+            use_volumes=use_volumes, num_slices=num_slices,
         )
         out = jax.block_until_ready(out)
-        # clamp out-of-range depths per problem (main.cpp:105-115)
-        bad = (out.depth < jnp.asarray(dmins[:, :1])[..., None]) | (
-            out.depth > jnp.asarray(dmaxs[:, :1])[..., None]
-        )
-        state = pipeline.PassState(
-            depth=jnp.where(bad, 0.0, out.depth),
-            normal_world=out.normal_world,
-            pixel_state=jnp.where(
-                bad, jnp.uint8(PixelState.UNKNOWN), out.pixel_state
-            ),
-            selected=out.selected,
-        )
+        dmin_col, dmax_col = dmins[:, :1], dmaxs[:, :1]
+        if multi:  # numpy args must become (replicated) global arrays
+            dmin_col = multihost.global_batch(mesh, P(), dmin_col)
+            dmax_col = multihost.global_batch(mesh, P(), dmax_col)
+        state = _clamp(out, dmin_col, dmax_col)
 
-        # ---- persist the checkpoint contract per pass ----
-        depth_h = np.asarray(state.depth)
-        normal_h = np.asarray(state.normal_world)
-        ps_h = np.asarray(state.pixel_state)
-        sel_h = np.asarray(state.selected)
+        # ---- persist the checkpoint contract per pass (each problem's
+        # files written by exactly one host) ----
+        rows_d = multihost.fetch_rows(state.depth, owned_rows)
+        rows_n = multihost.fetch_rows(state.normal_world, owned_rows)
+        rows_p = multihost.fetch_rows(state.pixel_state, owned_rows)
+        rows_s = multihost.fetch_rows(state.selected, owned_rows)
         for n, p in enumerate(problems):
+            if n not in rows_d:
+                continue
             formats.write_bin_mat(
-                os.path.join(p.result_folder, "depths.dmb"), depth_h[n]
+                os.path.join(p.result_folder, "depths.dmb"), rows_d[n]
             )
             formats.write_bin_mat(
-                os.path.join(p.result_folder, "normals.dmb"), normal_h[n]
+                os.path.join(p.result_folder, "normals.dmb"), rows_n[n]
             )
             formats.write_bin_mat(
-                os.path.join(p.result_folder, "weak.bin"), ps_h[n]
+                os.path.join(p.result_folder, "weak.bin"), rows_p[n]
             )
             formats.write_bin_mat(
                 os.path.join(p.result_folder, "selected_views.bin"),
-                pipeline.selected_to_bitmask(sel_h[n]),
+                pipeline.selected_to_bitmask(rows_s[n]),
             )
             if show_medium_result:  # debug dumps (main.cpp:127-134)
                 ref_cam = cache.camera(p.ref_image_id)
@@ -666,21 +757,25 @@ def run_scene_batched(
                 imio.save_image_u8(
                     os.path.join(p.result_folder, f"depth_{tag}.jpg"),
                     render.render_depth(
-                        depth_h[n],
+                        rows_d[n],
                         float(ref_cam["depth_min"]) * 0.6,
                         float(ref_cam["depth_max"]) * 1.2,
                     ),
                 )
                 imio.save_image_u8(
                     os.path.join(p.result_folder, f"normal_{tag}.jpg"),
-                    render.render_normal(normal_h[n]),
+                    render.render_normal(rows_n[n]),
                 )
                 imio.save_image_u8(
                     os.path.join(p.result_folder, f"weak_{tag}.jpg"),
-                    render.render_weak(ps_h[n]),
+                    render.render_weak(rows_p[n]),
                 )
+        # compute UNCONDITIONALLY: the replicated reduction is a collective,
+        # and in multi-process runs every process must issue the same
+        # collectives even if only some of them print (verbose may differ
+        # per process — e.g. log on process 0 only)
+        weak_pct = float(np.asarray(_weak_pct(state.pixel_state, Np)))
         if verbose:
-            weak_pct = 100.0 * float(np.mean(ps_h[:Np] == PixelState.WEAK))
             print(
                 f"round {spec.round_index} pass {spec.pass_index} "
                 f"({eff.state.name}, scale 1/{spec.scale_size}, "
@@ -688,12 +783,20 @@ def run_scene_batched(
                 f"{(time.time()-t0)*1000:.0f} ms, weak {weak_pct:.1f}%"
             )
 
-    ply = run_fusion(dense_folder, problems, variant=fusion_variant)
-    if verbose:
-        print(f"Fused point cloud: {ply}")
-    if not keep_intermediates:
-        for p in problems:
-            shutil.rmtree(p.result_folder, ignore_errors=True)
+    if multi:
+        # all hosts' checkpoint files must be on disk before fusion reads
+        # them; fusion itself is host-side and runs once (process 0)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("apdmvs_pre_fusion")
+    ply = os.path.join(dense_folder, "APD", "APD.ply")
+    if jax.process_index() == 0:
+        ply = run_fusion(dense_folder, problems, variant=fusion_variant)
+        if verbose:
+            print(f"Fused point cloud: {ply}")
+        if not keep_intermediates:
+            for p in problems:
+                shutil.rmtree(p.result_folder, ignore_errors=True)
     return ply
 
 
@@ -773,6 +876,7 @@ def run_scene(
     allow_missing_prior: bool = False,
     volume_cache_gb: float = 6.0,
     verbose: bool = True,
+    debug_dumps: bool = False,
 ) -> str:
     """Full reconstruction: the reference `main()` (main.cpp:140-233).
 
@@ -818,6 +922,7 @@ def run_scene(
                 num_views_pad=V_pad, show_medium_result=show_medium_result,
                 use_volumes=use_volumes,
                 allow_missing_prior=allow_missing_prior,
+                debug_dumps=debug_dumps,
             )
             if verbose:
                 # per-pass timing + weak ratio (reference: main.cpp:135-137

@@ -1,0 +1,73 @@
+"""Simulated 2-host execution (VERDICT round-1 item 5): two separate JAX
+processes, 4 virtual CPU devices each, joined via jax.distributed into one
+8-device mesh. Exercises multihost.maybe_initialize, host-level problem
+ownership (each process persists only its addressable rows), the
+cross-host depth all-gather in geometric-consistency passes, and
+fusion-on-process-0."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from apdmvs_tpu.datasets import synthetic
+from apdmvs_tpu.io import formats
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_scene(tmp_path):
+    folder = str(tmp_path / "scene")
+    cams, planes = synthetic.make_ring_scene(num_views=8, width=96, height=64)
+    synthetic.write_mvsnet_dataset(folder, cams, planes, depth_ranges=(2.0, 8.0))
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    workers = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "_multihost_worker.py"),
+             str(pid), "2", str(port), folder],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for w in workers:
+        try:
+            out, _ = w.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for x in workers:
+                x.kill()
+            pytest.fail("multihost worker timed out")
+        outs.append(out)
+    for pid, (w, out) in enumerate(zip(workers, outs)):
+        assert w.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER_OK {pid}" in out, out[-4000:]
+
+    ply = os.path.join(folder, "APD", "APD.ply")
+    assert os.path.exists(ply)
+    coords, colors = formats.read_point_cloud(ply)
+    assert coords.shape[0] > 1500, coords.shape
+    d = np.full(coords.shape[0], np.inf)
+    for pl in planes:
+        d = np.minimum(d, np.abs((coords.astype(np.float64) - pl.p0) @ pl.n))
+    assert np.median(d) < 0.05, np.median(d)
+
+    # every problem's checkpoint files were persisted by exactly one owner
+    for i in range(8):
+        dm = formats.read_bin_mat(
+            os.path.join(folder, "APD", f"{i:08d}", "depths.dmb")
+        )
+        assert dm.shape == (64, 96)

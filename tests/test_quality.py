@@ -47,6 +47,40 @@ def test_curved_scene_quality(tmp_path):
     assert m.f1 > 0.55, m
 
 
+def test_multi_round_apd_end_to_end(tmp_path):
+    """Forced 2-round schedule through run_scene (main.cpp:164-217
+    semantics on a small scene): REFINE_INIT re-seeding, prior rescaling
+    across the scale boundary, ransac/rotate annealing, use_APD=True on
+    round 1 — asserted at the fused-cloud metric level. Also exercises the
+    DEBUG_NEIGHBOUR / DEBUG_COST_LINE probe dumps (debug.py)."""
+    import numpy as np
+
+    from apdmvs_tpu import debug as debug_mod
+
+    cams, prims = synthetic.make_ring_scene(
+        num_views=4, width=128, height=96, include_flat_region=True
+    )
+    m, coords, depths = _run_and_eval(
+        tmp_path, cams, prims, noise=False, min_rounds=2, debug_dumps=True
+    )
+    assert m.num_points > 3000, m
+    assert m.accuracy > 0.75, m
+    assert m.f1 > 0.55, m
+
+    # probe files for view 0 parse and are self-consistent
+    folder = str(tmp_path / "scene")
+    rf = os.path.join(folder, "APD", "00000000")
+    sweep = formats.read_bin_mat(os.path.join(rf, "weak_cost_line.dmb"))
+    assert sweep.shape == (61, 128), sweep.shape
+    nb_path = os.path.join(rf, "neighbour.bin")
+    if os.path.exists(nb_path):  # written only for passes with weak pixels
+        nb = debug_mod.read_neighbours(nb_path)
+        nb_map = formats.read_bin_mat(os.path.join(rf, "neighbour_map.bin"))
+        assert nb.shape[1:] == (9, 2)
+        assert (nb_map >= -1).all()
+        assert int((nb_map >= 0).sum()) == nb.shape[0]
+
+
 def test_radiometric_robustness(tmp_path):
     """NCC is affine-invariant: gain/bias + noise must not collapse quality
     relative to the clean run (same ring scene as test_scene.py)."""
