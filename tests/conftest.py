@@ -4,9 +4,26 @@ Multi-host behavior is validated without a pod via virtual CPU devices
 (SURVEY.md §4 item 4). The container's sitecustomize pre-imports jax with the
 TPU ('axon') platform selected, so env vars are too late — we override the
 live config instead, before any backend is initialized.
+
+XLA_FLAGS is still read lazily at backend init, so the CPU scheduler
+override below does take effect: XLA:CPU's concurrency-optimized scheduler
+lets independent collectives on overlapping device groups start in
+different orders on different virtual devices, deadlocking the in-process
+rendezvous (reproduced with the weak path's worklist collectives + spatial
+halo exchanges on a (view, space) mesh). Disabling it serializes
+collectives in program order — which is how a real TPU executes them
+anyway (statically scheduled stream), so CPU validation matches TPU
+semantics.
 """
 
-import jax
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+)
+
+import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)

@@ -130,6 +130,45 @@ def test_sharded_geom_pass_with_depth_exchange(small_scene):
         assert np.median(rel) < 0.01, (i, np.median(rel))
 
 
+def test_weak_path_on_2d_mesh(small_scene):
+    """APD weak machinery + spatial sharding on one (view, space) mesh.
+
+    Regression for the XLA:CPU collective-scheduler deadlock: the weak
+    worklist collectives and the spatial halo exchanges used to rendezvous
+    in different orders on different devices and abort the process; the
+    conftest serializes CPU collectives in program order (as a real TPU
+    does natively), so this must now run to completion."""
+    cams, planes, images, depths, normals = small_scene
+    N = 4
+    order = [[i] + [j for j in range(N) if j != i] for i in range(N)]
+    imgs, gc, src_valid = _problem_arrays(cams, images, order)
+    _, V, H, W = imgs.shape
+
+    cfg = PassConfig(
+        state=RunState.REFINE_ITER, geom_consistency=True, use_APD=True,
+        max_iterations=1, weak_peak_radius=4,
+    )
+    ps = np.full((N, H, W), PixelState.STRONG, np.uint8)
+    ps[:, 10 : H - 10, 10 : W - 10] = PixelState.WEAK  # spans both space shards
+    prior = pipeline.PassState(
+        depth=jnp.asarray(depths),
+        normal_world=jnp.asarray(normals),
+        pixel_state=jnp.asarray(ps),
+        selected=jnp.asarray(np.broadcast_to(src_valid[:, :, None, None], (N, V, H, W))),
+    )
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(N, dtype=jnp.uint32))
+    rth = jnp.full((N,), 0.005, jnp.float32)
+
+    mesh = parallel.make_mesh(n_view=4, n_space=2)
+    out = parallel.sharded_batch_pass(
+        mesh, jnp.asarray(imgs), gc, jnp.asarray(src_valid), prior, keys, rth,
+        cfg, weak_capacity=2048, all_depths=jnp.asarray(depths),
+        src_index=jnp.asarray(np.array(order, np.int32)),
+    )
+    d = np.asarray(out.depth)
+    assert d.shape == (N, H, W) and np.isfinite(d[:, 8:-8, 8:-8]).all()
+
+
 def test_shard_problems_padding():
     padded, owners = parallel.shard_problems(10, 4)
     assert padded == 12
