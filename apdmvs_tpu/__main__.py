@@ -16,9 +16,10 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0, help="PRNG seed")
     ap.add_argument(
         "--fusion",
-        choices=["eth", "tat_intermediate", "tat_advanced"],
+        choices=["eth", "eth-device", "tat_intermediate", "tat_advanced"],
         default="eth",
-        help="fusion variant (reference: APD.cpp:826-1296)",
+        help="fusion variant (reference: APD.cpp:826-1296); eth-device "
+        "runs the ETH algorithm on the TPU mesh (fusion_device.py)",
     )
     ap.add_argument(
         "--show-medium-result",

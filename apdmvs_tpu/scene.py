@@ -852,6 +852,12 @@ def run_fusion(
     ]
     if variant == "eth":
         coords, colors = fusion_mod.fuse_eth(views, src_ids)
+    elif variant == "eth-device":
+        # the TPU-resident fusion (lax.scan over views, pixel-parallel on
+        # the device mesh) — fusion_device.py
+        from apdmvs_tpu import fusion_device
+
+        coords, colors = fusion_device.fuse_eth_device(views, src_ids)
     elif variant == "tat_intermediate":
         coords, colors = fusion_mod.fuse_tat(views, src_ids, advanced=False)
     elif variant == "tat_advanced":
