@@ -61,6 +61,11 @@ def main() -> None:
         "runner only)",
     )
     ap.add_argument(
+        "--profile-dir", default=None,
+        help="write a jax.profiler trace of the whole run here (view in "
+        "TensorBoard / xprof; sequential runner only)",
+    )
+    ap.add_argument(
         "--volume-cache-gb", type=float, default=6.0,
         help="HBM byte budget for the per-(problem, scale) image-volume "
         "cache (amortizes builds across each round's 4 passes)",
@@ -154,6 +159,7 @@ def main() -> None:
             allow_missing_prior=args.allow_missing_prior,
             volume_cache_gb=args.volume_cache_gb,
             debug_dumps=args.debug_dumps,
+            profile_dir=args.profile_dir,
         )
 
 

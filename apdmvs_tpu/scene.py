@@ -883,6 +883,7 @@ def run_scene(
     volume_cache_gb: float = 6.0,
     verbose: bool = True,
     debug_dumps: bool = False,
+    profile_dir: Optional[str] = None,
 ) -> str:
     """Full reconstruction: the reference `main()` (main.cpp:140-233).
 
@@ -918,7 +919,15 @@ def run_scene(
         # mode, which is slower than the direct path)
         use_volumes = jax.default_backend() not in ("cpu",)
 
-    for spec in schedule:
+    import contextlib
+
+    trace_cm = (
+        jax.profiler.trace(profile_dir)
+        if profile_dir
+        else contextlib.nullcontext()
+    )
+    with trace_cm:
+      for spec in schedule:
         for problem in problems:
             key = jax.random.fold_in(
                 jax.random.fold_in(root_key, spec.pass_index), problem.index

@@ -69,6 +69,12 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--views", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--batched-problems", type=int, default=0,
+        help="also time the batched/sharded runner with this many problems "
+        "in ONE jitted program (volume fast path, per-problem staging); "
+        "reported to stderr — the primary JSON metric is unchanged",
+    )
     args = ap.parse_args()
 
     import jax
@@ -177,6 +183,49 @@ def main() -> None:
         f"{100.0*sol_s/amortized_s:.1f}% of VPU-peak-equivalent",
         file=sys.stderr,
     )
+
+    if args.batched_problems > 0:
+        # batched path: N problems through one jitted scan on the device
+        # mesh (all local devices on the view axis). Image volumes rebuild
+        # per (problem, pass) inside the scan — the memory-bounded staging
+        # — so expect ~ pass + full build per problem, not the sequential
+        # runner's 4-pass amortization.
+        from apdmvs_tpu import parallel
+
+        N = args.batched_problems
+        mesh = parallel.make_mesh(n_space=1)
+        imgs_b = jnp.broadcast_to(imgs, (N,) + imgs.shape)
+        gc_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (N,) + x.shape), gc)
+        sv_b = jnp.broadcast_to(sv, (N, V))
+        prior_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (N,) + x.shape), prior
+        )
+        keys_b = jax.vmap(jax.random.PRNGKey)(jnp.arange(N, dtype=jnp.uint32))
+        rth_b = jnp.full((N,), 0.00875, jnp.float32)
+        dm_b = jnp.broadcast_to(dm[0][None], (N, H, W))
+        src_index = jnp.zeros((N, V), jnp.int32)
+
+        def run_batched(keys):
+            out = parallel.sharded_batch_pass(
+                mesh, imgs_b, gc_b, sv_b, prior_b, keys, rth_b, cfg,
+                weak_capacity=weak_capacity, all_depths=dm_b,
+                src_index=src_index, use_volumes=True, num_slices=160,
+            )
+            np.asarray(out.depth[0, 0, :4])
+            return out
+
+        run_batched(keys_b)  # compile + warmup
+        t0 = time.time()
+        run_batched(jax.vmap(jax.random.PRNGKey)(
+            jnp.arange(N, 2 * N, dtype=jnp.uint32)
+        ))
+        batched_s = (time.time() - t0) / N
+        print(
+            f"batched runner ({N} problems, {len(jax.devices())} device(s), "
+            f"volumes in-scan): {batched_s*1000:.0f} ms/problem "
+            f"({1.0/batched_s:.3f} maps/s)",
+            file=sys.stderr,
+        )
 
     vs = maps_per_sec / BENCH_BASELINE if BENCH_BASELINE else 1.0
     print(
