@@ -58,12 +58,12 @@ def test_multi_round_apd_end_to_end(tmp_path):
     from apdmvs_tpu import debug as debug_mod
 
     cams, prims = synthetic.make_ring_scene(
-        num_views=4, width=128, height=96, include_flat_region=True
+        num_views=4, width=96, height=72, include_flat_region=True
     )
     m, coords, depths = _run_and_eval(
         tmp_path, cams, prims, noise=False, min_rounds=2, debug_dumps=True
     )
-    assert m.num_points > 3000, m
+    assert m.num_points > 1500, m
     assert m.accuracy > 0.75, m
     assert m.f1 > 0.55, m
 
@@ -71,7 +71,7 @@ def test_multi_round_apd_end_to_end(tmp_path):
     folder = str(tmp_path / "scene")
     rf = os.path.join(folder, "APD", "00000000")
     sweep = formats.read_bin_mat(os.path.join(rf, "weak_cost_line.dmb"))
-    assert sweep.shape == (61, 128), sweep.shape
+    assert sweep.shape == (61, 96), sweep.shape
     nb_path = os.path.join(rf, "neighbour.bin")
     if os.path.exists(nb_path):  # written only for passes with weak pixels
         nb = debug_mod.read_neighbours(nb_path)

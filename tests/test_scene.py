@@ -138,11 +138,11 @@ def test_multi_round_resume_bit_compatible(tmp_path):
 
     folder = str(tmp_path / "scene")
     cams, planes = synthetic.make_ring_scene(
-        num_views=3, width=128, height=96, include_flat_region=True
+        num_views=3, width=96, height=72, include_flat_region=True
     )
     synthetic.write_mvsnet_dataset(folder, cams, planes, depth_ranges=(2.0, 8.0))
     problems = scene.generate_sample_list(folder)
-    full_size = (128, 96)
+    full_size = (96, 72)
     schedule = build_schedule(2)  # forced 2 rounds: scale 1/2 then 1/1
     assert schedule[4].state.name == "REFINE_INIT" and schedule[4].use_APD
     root_key = jax.random.PRNGKey(0)

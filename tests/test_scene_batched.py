@@ -62,7 +62,7 @@ def test_run_scene_batched_multi_round(tmp_path):
     (APD.cpp:552-581) and the APD weak machinery runs from round 1."""
     folder = str(tmp_path / "scene")
     cams, planes = synthetic.make_ring_scene(
-        num_views=4, width=128, height=96, include_flat_region=True
+        num_views=4, width=96, height=72, include_flat_region=True
     )
     synthetic.write_mvsnet_dataset(folder, cams, planes, depth_ranges=(2.0, 8.0))
 
@@ -72,7 +72,7 @@ def test_run_scene_batched_multi_round(tmp_path):
     )
     assert os.path.exists(ply)
     coords, colors = formats.read_point_cloud(ply)
-    assert coords.shape[0] > 2000, coords.shape
+    assert coords.shape[0] > 1200, coords.shape
     d = np.full(coords.shape[0], np.inf)
     for pl in planes:
         d = np.minimum(d, np.abs((coords.astype(np.float64) - pl.p0) @ pl.n))
