@@ -148,6 +148,122 @@ def gather_rows(
     return out[:M, :C] if (Mp != M or Cp != C) else out
 
 
+def _make_sorted_gather_kernel(group: int):
+    def kernel(idx_ref, table_hbm, out_ref, scratch, sems):
+        """Sorted-index variant: consecutive requests that fall in the same
+        aligned GROUP-row block reuse the previous request's scratch slot
+        (VMEM copy) instead of issuing a fresh DMA. Worklists are
+        raster-order compactions, so dense weak regions collapse up to
+        ``group``x fewer DMAs — the gather is DMA-descriptor-issue bound
+        (~1.6 us/DMA on v5e), so dedup is a direct speedup."""
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        g = pl.program_id(0)
+
+        def base(i):
+            row = idx_ref[g * _BLOCK + i]
+            return (row // group) * group
+
+        def dma(i):
+            return pltpu.make_async_copy(
+                table_hbm.at[pl.ds(base(i), group), :], scratch.at[i], sems.at[i]
+            )
+
+        # i == 0 always DMAs: the previous block's scratch is gone
+        dma(0).start()
+        for i in range(1, _BLOCK):
+            @pl.when(base(i) != base(i - 1))
+            def _start(i=i):
+                dma(i).start()
+
+        for i in range(_BLOCK):
+            if i == 0:
+                dma(0).wait()
+            else:
+                fresh = base(i) != base(i - 1)
+
+                @pl.when(fresh)
+                def _wait(i=i):
+                    dma(i).wait()
+
+                @pl.when(jnp.logical_not(fresh))
+                def _copy(i=i):
+                    scratch[i] = scratch[i - 1]
+
+            row = idx_ref[g * _BLOCK + i]
+            sub = row - (row // group) * group
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0) == sub
+            ).astype(jnp.float32)
+            picked = jnp.sum(
+                scratch[i].astype(jnp.float32) * onehot, axis=0, keepdims=True
+            )
+            out_ref[pl.ds(i, 1), :] = picked.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_rows_sorted(
+    table: jax.Array,  # [R, C]
+    idx: jax.Array,  # [M] int32, MUST be non-decreasing (caller invariant)
+    interpret: bool | None = None,
+) -> jax.Array:
+    """gather_rows for non-decreasing ``idx`` (raster-order worklists):
+    identical output, fewer DMAs (adjacent same-group requests share one).
+    The sortedness is a correctness-neutral invariant — an unsorted input
+    still returns correct rows, just without the dedup win."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        if jax.default_backend() == "cpu":
+            return gather_rows_ref(table, idx)
+        interpret = False
+    R, C = table.shape
+    group = _group_for(table.dtype)
+    Cp = ((C + 127) // 128) * 128
+    Rp = ((R + group - 1) // group) * group
+    if Cp != C or Rp != R:
+        table = jnp.pad(table, ((0, Rp - R), (0, Cp - C)))
+    M = idx.shape[0]
+    Mp = ((M + _BLOCK - 1) // _BLOCK) * _BLOCK
+    if Mp != M:
+        # pad with the LAST index so sortedness (and group-dedup) holds
+        idx = jnp.pad(idx, (0, Mp - M), mode="edge")
+    idx = jnp.clip(idx.astype(jnp.int32), 0, R - 1)
+
+    def call(idx_chunk):
+        m = idx_chunk.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m // _BLOCK,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (_BLOCK, Cp), lambda g, idx_ref: (g, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_BLOCK, group, Cp), table.dtype),
+                pltpu.SemaphoreType.DMA((_BLOCK,)),
+            ],
+        )
+        return pl.pallas_call(
+            _make_sorted_gather_kernel(group),
+            out_shape=jax.ShapeDtypeStruct((m, Cp), table.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(idx_chunk, table)
+
+    if Mp <= _CHUNK:
+        out = call(idx)
+    else:
+        out = jnp.concatenate(
+            [call(idx[s : s + _CHUNK]) for s in range(0, Mp, _CHUNK)]
+        )
+    return out[:M, :C] if (Mp != M or Cp != C) else out
+
+
 def pack_volume_rows(C_vol: jax.Array) -> jax.Array:
     """[V, K, PH, PW] cost/depth volume -> position-major row table
     [PH * PW, (V-1) * K] (view 0 — the reference view — is never fetched).

@@ -32,6 +32,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules: the suite compiles
+    hundreds of distinct programs (scene runners x pass configs x meshes),
+    and the accumulated executables + constants have aborted XLA:CPU
+    compiles late in a full-suite run (memory pressure; the same test
+    passes in isolation). Per-module clearing caps the footprint without
+    losing intra-module jit reuse."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def ring_scene():
     from apdmvs_tpu.datasets import synthetic

@@ -21,6 +21,23 @@ def test_gather_rows_matches_ref():
     np.testing.assert_allclose(got, want)
 
 
+def test_gather_rows_sorted_matches_ref():
+    """Sorted-worklist variant: same outputs, dedup'd same-group DMAs.
+    Covers dense runs (adjacent duplicates/neighbors in one 8-row group),
+    jumps across groups, and — since sortedness is perf-only — an
+    unsorted input too."""
+    rng = np.random.RandomState(1)
+    table = jnp.asarray(rng.rand(512, 256).astype(np.float32))
+    dense = np.repeat(np.arange(40, 80), 4)  # heavy same-group sharing
+    jumps = np.sort(rng.randint(0, 512, 100))
+    unsorted = rng.randint(0, 512, 70)
+    for idx_np in (dense, jumps, unsorted):
+        idx = jnp.asarray(idx_np.astype(np.int32))
+        got = np.asarray(colsmod.gather_rows_sorted(table, idx, interpret=True))
+        want = np.asarray(colsmod.gather_rows_ref(table, idx))
+        np.testing.assert_allclose(got, want)
+
+
 def test_tent_and_nearest_lookup():
     rng = np.random.RandomState(1)
     cols = jnp.asarray(rng.rand(7, 16).astype(np.float32))
