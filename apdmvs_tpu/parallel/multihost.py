@@ -109,24 +109,6 @@ def addressable_problems(mesh: Mesh, num_padded: int) -> np.ndarray:
     return np.array(sorted(rows), np.int64)
 
 
-def rebuild_global(
-    mesh: Mesh, spec: P, shape, dtype, row_fn
-) -> jax.Array:
-    """Build a global array row-sharded on 'view' from a per-row host
-    function: ``row_fn(i) -> np.ndarray`` of shape ``shape[1:]``. Only rows
-    addressable on this host are materialized (used to resample prior
-    state between pyramid levels without gathering other hosts' rows)."""
-    sharding = NamedSharding(mesh, spec)
-
-    def cb(idx):
-        rows = range(*idx[0].indices(shape[0]))
-        block = np.stack([row_fn(i) for i in rows]).astype(dtype, copy=False)
-        rest = tuple(idx[1:])
-        return block[(slice(None),) + rest] if rest else block
-
-    return jax.make_array_from_callback(tuple(shape), sharding, cb)
-
-
 def fetch_rows(global_array: jax.Array, rows: Sequence[int]) -> dict:
     """Host copies of the given problem rows (leading-axis indices) from a
     'view'-sharded global array — only addressable shards are touched (no

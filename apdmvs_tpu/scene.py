@@ -18,6 +18,7 @@ does (APD.cpp:492-510).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import shutil
 import time
@@ -635,57 +636,44 @@ def run_scene_batched(
             prev_hw = state.depth.shape[1:3]
             if prev_hw != (H, W):
                 # nearest-neighbor resample of the prior state to the new
-                # pyramid level (APD.cpp:552-581); each host resizes only
-                # its own problem rows
-                host_rows = {
-                    name: multihost.fetch_rows(arr, owned_rows)
-                    for name, arr in (
-                        ("depth", state.depth),
-                        ("normal", state.normal_world),
-                        ("ps", state.pixel_state),
-                        ("sel", state.selected),
-                    )
-                }
-
-                def rz(name, i):
-                    x = host_rows[name][i]
-                    if name == "sel":
-                        return np.stack(
-                            [imio.resize_nearest(s, W, H) for s in x]
-                        )
-                    return imio.resize_nearest(x, W, H)
-
+                # pyramid level (APD.cpp:552-581), ON DEVICE: the index
+                # maps are static (imio.resize_nearest's exact formula),
+                # so the resample is a jitted slice-gather over the sharded
+                # state — no host round-trip, works identically multi-host
+                # (global arrays in, global arrays out)
+                ph, pw = prev_hw
+                ys_i = jnp.asarray(
+                    np.minimum((np.arange(H) * (ph / H)).astype(np.int64), ph - 1)
+                )
+                xs_i = jnp.asarray(
+                    np.minimum((np.arange(W) * (pw / W)).astype(np.int64), pw - 1)
+                )
                 img_sp = P("view", None, "space", None)
                 p2d = P("view", "space", None)
                 v3 = P("view", "space", None, None)
-                if multi:
-                    prior = pipeline.PassState(
-                        depth=multihost.rebuild_global(
-                            mesh, p2d, (N, H, W), np.float32,
-                            lambda i: rz("depth", i),
+                out_sh = pipeline.PassState(
+                    depth=NamedSharding(mesh, p2d),
+                    normal_world=NamedSharding(mesh, v3),
+                    pixel_state=NamedSharding(mesh, p2d),
+                    selected=NamedSharding(mesh, img_sp),
+                )
+
+                @functools.partial(jax.jit, out_shardings=out_sh)
+                def _resample(st):
+                    def rz2(a):  # [..., H', W'] trailing spatial axes
+                        return jnp.take(jnp.take(a, ys_i, axis=-2), xs_i, axis=-1)
+
+                    return pipeline.PassState(
+                        depth=rz2(st.depth),
+                        normal_world=jnp.take(
+                            jnp.take(st.normal_world, ys_i, axis=1), xs_i, axis=2
                         ),
-                        normal_world=multihost.rebuild_global(
-                            mesh, v3, (N, H, W, 3), np.float32,
-                            lambda i: rz("normal", i),
-                        ),
-                        pixel_state=multihost.rebuild_global(
-                            mesh, p2d, (N, H, W), np.uint8,
-                            lambda i: rz("ps", i),
-                        ),
-                        selected=multihost.rebuild_global(
-                            mesh, img_sp, (N, V, H, W), bool,
-                            lambda i: rz("sel", i),
-                        ),
+                        pixel_state=rz2(st.pixel_state),
+                        selected=rz2(st.selected),
                     )
-                else:
-                    prior = pipeline.PassState(
-                        depth=np.stack([rz("depth", i) for i in range(N)]),
-                        normal_world=np.stack(
-                            [rz("normal", i) for i in range(N)]
-                        ),
-                        pixel_state=np.stack([rz("ps", i) for i in range(N)]),
-                        selected=np.stack([rz("sel", i) for i in range(N)]),
-                    )
+
+                with mesh:
+                    prior = _resample(state)
             else:
                 prior = state
 

@@ -32,5 +32,8 @@ from apdmvs_tpu import scene  # noqa: E402
 ply = scene.run_scene_batched(
     folder, seed=0, n_view_shards=4 * nproc, n_space_shards=1,
     verbose=(pid == 0),
+    # 2 rounds: the scale boundary exercises the device-side prior
+    # resample (a collective program every process must enter)
+    min_rounds=2,
 )
 print(f"WORKER_OK {pid} {ply}", flush=True)
