@@ -139,6 +139,7 @@ def _ceil_to(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+@partial(jax.jit, static_argnames=("num_slices", "weak_cost_volumes"))
 def build_image_volume_set(
     images: jax.Array,  # [V, H, W] f32
     cams: Cameras,
@@ -220,6 +221,7 @@ def build_image_volume_set(
     )
 
 
+@jax.jit
 def add_depth_volumes(
     vs: VolumeSet,
     depth_maps: jax.Array,  # [V, H, W] source-view depth estimates
@@ -230,7 +232,11 @@ def add_depth_volumes(
     """Attach the per-pass depth volumes (geometric consistency) to a cached
     image volume set. Rebuilt every geom pass — the src views' depth
     estimates change each pass (reference re-reads depths.dmb per pass,
-    APD.cpp:492-510)."""
+    APD.cpp:492-510).
+
+    Jitted as one program: built eagerly, the ~100 small const-packing ops
+    each pay a dispatch round-trip (2.5 s total on the tunneled chip vs
+    ~0.4 s of actual builder-kernel time — scripts/measure_build.py)."""
     from apdmvs_tpu.ops import ncc_volume, volume as vol
 
     V = depth_maps.shape[0]

@@ -218,6 +218,18 @@ def _build_kernel(
             res = jnp.where(idx // 128 == wwin, g, res)
         return res
 
+    if trunc:
+        # integer sample coords: fx = fy = 0 exactly, so only the (y0, x0)
+        # tap contributes — half the gathers and a quarter of the selects
+        # of the bilinear path (this is the depth-volume build, rebuilt
+        # every geom pass, so it is the hot builder)
+        v00 = jnp.zeros((8, 128), jnp.float32)
+        for row in range(_WIN_H):
+            row_vals = pltpu.repeat(win[row : row + 1, :], 8, axis=0)
+            v00 = jnp.where(y0 == row, xgather(row_vals, x0), v00)
+        out_ref[0] = v00.astype(out_ref.dtype)
+        return
+
     v00 = jnp.zeros((8, 128), jnp.float32)
     v01 = jnp.zeros((8, 128), jnp.float32)
     v10 = jnp.zeros((8, 128), jnp.float32)

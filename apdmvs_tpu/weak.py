@@ -214,12 +214,14 @@ def build_weak_cols(
     PH, PW = vs.C36.shape[2], vs.C36.shape[3]
     N = weak_xy.shape[0]
 
-    # weak_xy is a raster-order compaction, so these position rows are
-    # non-decreasing -> the sorted gather dedups same-group DMAs
+    # weak_xy is a raster-order compaction so the sorted-dedup gather
+    # applies, but on-chip it LOSES to the plain per-row kernel (v5e:
+    # 35 vs 30 ms at 131k x 640 — the dedup's VMEM slot copy costs more
+    # than the grouped DMA it saves; scripts/bench_gather.py)
     idx_c = colsmod.flat_index(
         weak_xy[..., 0], weak_xy[..., 1], ncc_volume.PAD_Y, ncc_volume.PAD_X, PH, PW
     )
-    c36 = colsmod.gather_rows_sorted(colsmod.pack_volume_rows(vs.C36), idx_c)
+    c36 = colsmod.gather_rows(colsmod.pack_volume_rows(vs.C36), idx_c)
     c36 = jnp.moveaxis(c36.reshape(N, Vs, K), 1, 0).astype(jnp.float32)
 
     a = anchors.coords[:, 1:]  # [N, 8, 2]
@@ -233,7 +235,7 @@ def build_weak_cols(
     if vs.D is not None:
         DH, DW = vs.D.shape[2], vs.D.shape[3]
         idx_d = colsmod.flat_index(weak_xy[..., 0], weak_xy[..., 1], 0, 0, DH, DW)
-        d = colsmod.gather_rows_sorted(colsmod.pack_volume_rows(vs.D), idx_d)
+        d = colsmod.gather_rows(colsmod.pack_volume_rows(vs.D), idx_d)
         d = jnp.moveaxis(d.reshape(N, Vs, K), 1, 0).astype(jnp.float32)
     return WeakCols(c36=c36, c9=c9, d=d)
 

@@ -99,3 +99,34 @@ def test_pallas_sampler_matches_ref(dtype):
     got = np.asarray(volume.volume_sample(E, k, interpret=True))
     want = np.asarray(volume.volume_sample_ref(E, k))
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-1)
+
+
+@pytest.mark.parametrize("trunc", [False, True])
+def test_pallas_builder_matches_xla(trunc):
+    """build_volume_pallas (interpret) == build_volume_padded: the window-DMA
+    kernel reproduces the XLA build exactly away from window-miss clamps,
+    in both bilinear (image volumes) and trunc/nearest (depth volumes,
+    APD.cu:770-772) modes."""
+    gc, images, depths, normals = _setup()
+    u_min, du = volume.inv_depth_grid(1.2, 9.6, 8)
+    wc = geometry.warp_constants(gc)
+    src = jnp.asarray(images[1][:64, :96])  # small: interpret mode is slow
+    got = np.asarray(
+        volume.build_volume_pallas(
+            src, wc.M[1], wc.b[1], gc.K[0], 48, 128, u_min, du, 8,
+            pad_y=8, pad_x=0, dtype=jnp.float32, trunc=trunc, interpret=True,
+        ),
+        np.float32,
+    )
+    want = np.asarray(
+        volume.build_volume_padded(
+            src, wc.M[1], wc.b[1], gc.K[0], 48, 128, u_min, du, 8,
+            pad_y=8, pad_x=0, dtype=jnp.float32, trunc=trunc,
+        ),
+        np.float32,
+    )
+    # window-miss clamp divergence is confined to warps outside the DMA
+    # window; on this geometry the interior matches to fp tolerance
+    match = np.isclose(got, want, rtol=1e-3, atol=1e-2)
+    assert np.mean(match) > 0.97, np.mean(match)
+    assert np.mean(match[:, 8:56, 16:112]) > 0.995, np.mean(match[:, 8:56, 16:112])
