@@ -59,6 +59,13 @@ class VolumeSet(NamedTuple):
     # config (radius 5, step 5). [V, K, PH, PW] bf16.
     C36: Optional[jax.Array] = None
     C9: Optional[jax.Array] = None
+    # Rebased volumes R[v, j, p] = E[v, b(p) + j - J, p] around the current
+    # depth estimate's slice map b (ops/ncc_volume.py "Rebased volumes"
+    # rationale): grid NCC fetches then run over an 8-slice deviation band
+    # instead of the ~16-slice slope spread. Rebuilt per iteration via
+    # rebase_volume_set; None falls back to the direct kernel.
+    R: Optional[jax.Array] = None
+    base_k: Optional[jax.Array] = None
 
     @property
     def num_slices(self) -> int:
@@ -280,6 +287,43 @@ def add_depth_volumes(
     return vs._replace(D=jnp.stack(Ds), geom_consts=jnp.stack(gconsts))
 
 
+@jax.jit
+def rebase_volume_set(vs: VolumeSet, cams: Cameras, depth: jax.Array) -> VolumeSet:
+    """Attach rebased volumes R (and the clipped base map) centered on the
+    slice of ``depth`` at every pixel (ops/ncc_volume.py "Rebased volumes").
+
+    Called once per propagation iteration with the current depth estimate;
+    costs ~a dozen ms and makes every grid NCC fetch in the iteration run
+    over an 8-slice deviation band. Results are exact regardless of the
+    base (out-of-band candidates take the kernel's exact fallback), so any
+    depth — including FIRST_INIT's random seed — is a valid base.
+    """
+    from apdmvs_tpu.ops import ncc_volume
+
+    if jax.default_backend() == "cpu":
+        # CPU grid calls route through the XLA mirror; R would be unused
+        return vs
+    V = vs.E.shape[0]
+    u_min, du = vs.u_grid
+    K = vs.num_slices
+    H, W = depth.shape
+    PH, PW = vs.ref_pad.shape
+    valid = depth > 0.0
+    k = (1.0 / jnp.where(valid, depth, 1.0) - u_min) / du
+    k = jnp.where(valid, jnp.clip(k, 0.0, K - 1.0), K / 2.0)
+    base_k = jnp.pad(
+        k, ((ncc_volume.PAD_Y, PH - H - ncc_volume.PAD_Y),
+            (ncc_volume.PAD_X, PW - W - ncc_volume.PAD_X)),
+        mode="edge",
+    )
+    Rs = [jnp.zeros((ncc_volume.J2_REBASE,) + vs.E.shape[2:], vs.E.dtype)]
+    bf = None
+    for v in range(1, V):
+        Rv, bf = ncc_volume.build_rebased_view(vs.E[v], base_k, K)
+        Rs.append(Rv)
+    return vs._replace(R=jnp.stack(Rs), base_k=bf)
+
+
 def build_volume_set(
     images: jax.Array,  # [V, H, W] f32
     cams: Cameras,
@@ -329,13 +373,23 @@ def _cost_vector_volume(
     # per-view unrolled kernels: measured 5x faster than a fori_loop-based
     # all-views kernel (Mosaic pipelines unrolled bodies; fori adds per-
     # iteration overhead on tiny [8,128] ops)
-    outs = [
-        ncc_volume.ncc_volume_cost_view(
-            vs.E[v], vs.ref_pad, planes_cf, vs.consts[v], vs.num_slices,
-            radius=radius, increment=increment,
-        )[:, :H, :W]
-        for v in range(1, V)
-    ]
+    if vs.R is not None:
+        outs = [
+            ncc_volume.ncc_rebased_cost_view(
+                vs.R[v], vs.base_k, vs.E[v], vs.ref_pad, planes_cf,
+                vs.consts[v], vs.num_slices,
+                radius=radius, increment=increment,
+            )[:, :H, :W]
+            for v in range(1, V)
+        ]
+    else:
+        outs = [
+            ncc_volume.ncc_volume_cost_view(
+                vs.E[v], vs.ref_pad, planes_cf, vs.consts[v], vs.num_slices,
+                radius=radius, increment=increment,
+            )[:, :H, :W]
+            for v in range(1, V)
+        ]
     costs = jnp.concatenate(
         [jnp.full((1,) + outs[0].shape, COST_MAX, jnp.float32), jnp.stack(outs)]
     )  # [V, C, H, W]

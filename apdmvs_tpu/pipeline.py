@@ -114,20 +114,38 @@ def patchmatch_pass_impl(
         anchors = None
         wcols = None
 
+    def rebased(ctx_, planes_):
+        """Context with volumes rebased on planes_' depth (ops/ncc_volume.py
+        "Rebased volumes"). Opt-in via APDMVS_REBASE=1: the direct kernel's
+        band-clamped hot path measured the same speed as the rebased hot
+        kernel (~25 ms at C=9) without the per-iteration rebuild
+        (~105 ms x V) or the exact-fixup dispatch the rebased path requires
+        (PERF_NOTES round-3 ledger), so direct is the default. Rebasing
+        remains available for extreme-tilt scenes where the SUB_BAND clamp
+        would bite (>60-deg tilts at VGA)."""
+        import os
+
+        if volumes is None or os.environ.get("APDMVS_REBASE", "0") != "1":
+            return ctx_
+        d = geometry.depth_from_plane(cams.K[0], planes_, ctx_.x, ctx_.y)
+        return ctx_._replace(volumes=ncc.rebase_volume_set(volumes, cams, d))
+
     # ---- RandomInitialization (APD.cu:806-835) ----
     if cfg.state == RunState.FIRST_INIT:
         planes = hypotheses.random_plane(
             k_init, cams.K[0], ctx.x, ctx.y, ctx.dirs, depth_min, depth_max
         )
         costs, selected = ncc.initial_cost_and_views(
-            ctx, planes, cfg.strong_radius, cfg.strong_increment, cfg.top_k
+            rebased(ctx, planes), planes,
+            cfg.strong_radius, cfg.strong_increment, cfg.top_k,
         )
     else:
         planes = geometry.depth_normal_to_planes(
             cams, prior.depth, prior.normal_world, H, W
         )
         costs, selected = ncc.recost_selected_views(
-            ctx, planes, prior.selected, cfg.strong_radius, cfg.strong_increment
+            rebased(ctx, planes), planes,
+            prior.selected, cfg.strong_radius, cfg.strong_increment,
         )
 
     st = StrongState(
@@ -142,16 +160,17 @@ def patchmatch_pass_impl(
         k_it = jax.random.fold_in(k_iters, it)
         k_black, k_red, k_weak = jax.random.split(k_it, 3)
         iter_idx = jnp.asarray(it)
+        ctx_it = rebased(ctx, st.planes)  # fast fetch band for this iter
         st = propagation.propagate_strong_color(
-            ctx, st, pixel_state, iter_idx, k_black, cfg, color=0
+            ctx_it, st, pixel_state, iter_idx, k_black, cfg, color=0
         )
         st = propagation.propagate_strong_color(
-            ctx, st, pixel_state, iter_idx, k_red, cfg, color=1
+            ctx_it, st, pixel_state, iter_idx, k_red, cfg, color=1
         )
         if weak_xy is not None:
             st = weak.propagate_weak(
-                ctx, st, pixel_state, weak_xy, anchors, iter_idx, k_weak, cfg,
-                wcols=wcols,
+                ctx_it, st, pixel_state, weak_xy, anchors, iter_idx, k_weak,
+                cfg, wcols=wcols,
             )
 
     # ---- readout: plane -> depth + world normal (APD.cu:1587-1602) ----

@@ -231,11 +231,14 @@ def propagate_strong_color(
         cand_list.append(acc)
     cand_planes = jnp.stack(cand_list)  # [8, H, W, 4]
 
-    # all 8 candidate regions in one fused batch (plane batch dims broadcast
-    # through the NCC evaluator): [V, 8, H, W] -> [8, V, H, W]
-    cost_array = jnp.moveaxis(
-        ncc.cost_vector(ctx, cand_planes, r, inc), 0, 1
-    )
+    # all 8 candidate regions + the current plane in ONE fused batch (plane
+    # batch dims broadcast through the NCC evaluator): one kernel dispatch
+    # and one volume-window residency instead of two
+    cv9 = ncc.cost_vector(
+        ctx, jnp.concatenate([cand_planes, planes[None]], axis=0), r, inc
+    )  # [V, 9, H, W]
+    cost_array = jnp.moveaxis(cv9[:, :8], 0, 1)  # [8, V, H, W]
+    cost_vec_now = cv9[:, 8]  # [V, H, W]
     # reference aggregate-init quirk: invalid regions contribute cost 0
     cost_array = jnp.where(flags[:, None], cost_array, 0.0)
 
@@ -251,7 +254,6 @@ def propagate_strong_color(
     )  # [8, H, W]
     min_idx = jnp.argmin(final_costs, axis=0)  # [H, W]
 
-    cost_vec_now = ncc.cost_vector(ctx, planes, r, inc)
     cost_now = _weighted(cost_vec_now, weights, weight_norm)  # [H, W]
     cost_pre = cost_now  # reference: costs[center] = cost_now (APD.cu:1295)
 

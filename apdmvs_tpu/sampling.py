@@ -106,6 +106,26 @@ def select_index(values: jax.Array, idx: jax.Array) -> jax.Array:
     return out
 
 
+def select_axis1(values: jax.Array, idx: jax.Array) -> jax.Array:
+    """values[n, idx[n, ...]] via a D-way select loop along axis 1.
+
+    values: [N, D, *rest]; idx: [N, *extra] int, entries in [0, D).
+    Returns [N, *extra, *rest]. For the small per-row tables of the weak
+    machinery (D <= 32 probe slots / anchors) the dense select chain fuses
+    into the surrounding elementwise work, while XLA's take_along_axis
+    lowers to a ~50-cycle/element gather (PERF_NOTES.md).
+    """
+    N, D = values.shape[0], values.shape[1]
+    rest = values.shape[2:]
+    extra = idx.shape[1:]
+    idx_b = idx.reshape(idx.shape + (1,) * len(rest))
+    v_shape = (N,) + (1,) * len(extra) + rest
+    out = jnp.zeros((N,) + extra + rest, values.dtype)
+    for d in range(D):
+        out = jnp.where(idx_b == d, values[:, d].reshape(v_shape), out)
+    return out
+
+
 def patch_offsets(radius: int, increment: int) -> np.ndarray:
     """The reference NCC window offsets: i, j in [-radius, radius] step
     increment (reference: APD.cu:461-468, 561-569). Returns int [S, 2]

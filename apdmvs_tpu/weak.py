@@ -53,6 +53,7 @@ from apdmvs_tpu.propagation import StrongState, joint_view_selection
 _MIN_MARGIN = 6  # reference: APD.cu:1765
 _NEAREST_RADIUS = 100  # reference: APD.cu:2250
 _RANSAC_ITERS = 50  # reference: APD.cu:1880, 2316
+_RANSAC_CHUNK = 10  # triangles evaluated per scan step (see ransac_step)
 _NUM_ANCHORS = NEIGHBOUR_NUM - 1  # 8
 _JITTERS_PER_RADIUS = 2  # reference uses 4 (APD.cu:1812); see radius_schedule
 # Max gap between consecutive probe radii: every probe's landing snaps to
@@ -313,56 +314,58 @@ def probe_strong_points(
     P = len(schedule) * _JITTERS_PER_RADIUS
     radii = np.repeat(np.asarray(schedule, np.float32), _JITTERS_PER_RADIUS)
 
-    def scan_dir(d_idx):
-        """First accepted strong point along direction d for all weak pixels."""
-        base = jnp.asarray(dirs_np)[d_idx]  # [2]
+    # All D directions are probed inside each scan step (body shape
+    # [N, D]); the original map-over-directions x scan-over-probes form
+    # ran D*P (~800) sequential device-loop iterations of tiny bodies and
+    # was loop-overhead bound (~4 ms/step at VGA — round-3 profile).
+    # First-accept order per (pixel, direction) is unchanged: radii
+    # ascend along the scan, jitters within a radius are consecutive
+    # steps.
+    base_all = jnp.asarray(dirs_np)  # [D, 2]
 
-        def probe_step(carry, inputs):
-            found, pt_x, pt_y = carry
-            radius, k_step = inputs
-            shifts = jax.random.randint(k_step, (N, 2), -shift_range + 1, shift_range)
-            d = base * 20.0 + shifts.astype(jnp.float32)
-            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-            px = (wx + d[..., 0] * radius).astype(jnp.int32)
-            py = (wy + d[..., 1] * radius).astype(jnp.int32)
-            in_margin = (
-                (px >= _MIN_MARGIN)
-                & (py >= _MIN_MARGIN)
-                & (px < W - _MIN_MARGIN)
-                & (py < H - _MIN_MARGIN)
-            )
-            # snap the landing to its nearest strong pixel (strong pixels
-            # snap to themselves): one packed gather per probe
-            s = sampling.gather_grid(snap_flat, px, py)  # [N]
-            sx = s % W
-            sy = s // W
-            has_pt = in_margin & (s >= 0)
-            # angular-cone acceptance (APD.cu:1829-1832)
-            td = jnp.stack([sx.astype(jnp.float32) - wx, sy.astype(jnp.float32) - wy], -1)
-            td = td / jnp.maximum(jnp.linalg.norm(td, axis=-1, keepdims=True), 1e-12)
-            cos_a = td[..., 0] * base[0] + td[..., 1] * base[1]
-            accept = has_pt & (cos_a > cos_threshold) & ~found
-            return (
-                found | accept,
-                jnp.where(accept, sx, pt_x),
-                jnp.where(accept, sy, pt_y),
-            ), None
-
-        keys = jax.random.split(jax.random.fold_in(key, d_idx), P)
-        init = (
-            jnp.zeros((N,), bool),
-            jnp.full((N,), -1, jnp.int32),
-            jnp.full((N,), -1, jnp.int32),
+    def probe_step(carry, inputs):
+        found, pt_x, pt_y = carry  # [N, D]
+        radius, k_step = inputs
+        shifts = jax.random.randint(
+            k_step, (N, D, 2), -shift_range + 1, shift_range
         )
-        (found, pt_x, pt_y), _ = jax.lax.scan(
-            probe_step, init, (jnp.asarray(radii), keys)
+        d = base_all[None] * 20.0 + shifts.astype(jnp.float32)  # [N, D, 2]
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        px = (wx[:, None] + d[..., 0] * radius).astype(jnp.int32)
+        py = (wy[:, None] + d[..., 1] * radius).astype(jnp.int32)
+        in_margin = (
+            (px >= _MIN_MARGIN)
+            & (py >= _MIN_MARGIN)
+            & (px < W - _MIN_MARGIN)
+            & (py < H - _MIN_MARGIN)
         )
-        return found, pt_x, pt_y
+        # snap the landing to its nearest strong pixel (strong pixels
+        # snap to themselves): one packed gather per probe
+        s = sampling.gather_grid(snap_flat, px, py)  # [N, D]
+        sx = s % W
+        sy = s // W
+        has_pt = in_margin & (s >= 0)
+        # angular-cone acceptance (APD.cu:1829-1832)
+        tdx = sx.astype(jnp.float32) - wx[:, None]
+        tdy = sy.astype(jnp.float32) - wy[:, None]
+        tn = jnp.maximum(jnp.sqrt(tdx * tdx + tdy * tdy), 1e-12)
+        cos_a = (tdx * base_all[None, :, 0] + tdy * base_all[None, :, 1]) / tn
+        accept = has_pt & (cos_a > cos_threshold) & ~found
+        return (
+            found | accept,
+            jnp.where(accept, sx, pt_x),
+            jnp.where(accept, sy, pt_y),
+        ), None
 
-    found, spx, spy = jax.lax.map(scan_dir, jnp.arange(D))  # [D, N] each
-    found = jnp.moveaxis(found, 0, 1)  # [N, D]
-    spx = jnp.moveaxis(spx, 0, 1)
-    spy = jnp.moveaxis(spy, 0, 1)
+    keys = jax.random.split(key, P)
+    init = (
+        jnp.zeros((N, D), bool),
+        jnp.full((N, D), -1, jnp.int32),
+        jnp.full((N, D), -1, jnp.int32),
+    )
+    (found, spx, spy), _ = jax.lax.scan(
+        probe_step, init, (jnp.asarray(radii), keys)
+    )
     return found, spx, spy
 
 
@@ -412,20 +415,25 @@ def generate_anchors(
     thr = ransac_threshold
 
     # --- RANSAC for the best anchor plane (APD.cu:1879-1945) ---
+    # _RANSAC_CHUNK triangles are drawn and evaluated per scan step (dense
+    # D-way selects, not gathers — PERF_NOTES round-3), then folded into
+    # the running best sequentially so the reference's first-wins
+    # tie-breaking order is preserved. A 1-triangle-per-step scan was
+    # device-loop-overhead bound like the probe march.
     def ransac_step(carry, k_it):
         best_count, best_center_dist, best_plane, best_abc, has_plane = carry
-        idx = jax.random.randint(k_it, (N, 3), 0, 1 << 30)
-        idx = idx % jnp.maximum(num_found, 1)[:, None]
-        ia, ib, ic = idx[:, 0], idx[:, 1], idx[:, 2]
+        idx = jax.random.randint(k_it, (N, _RANSAC_CHUNK, 3), 0, 1 << 30)
+        idx = idx % jnp.maximum(num_found, 1)[:, None, None]
+        ia, ib, ic = idx[..., 0], idx[..., 1], idx[..., 2]  # [N, T]
         distinct = (ia != ib) & (ib != ic) & (ia != ic)
 
         def takepts(i):
             return (
-                jnp.take_along_axis(pts3d, i[:, None, None].repeat(3, -1), axis=1)[:, 0],
+                sampling.select_axis1(pts3d, i),  # [N, T, 3]
                 jnp.stack(
                     [
-                        jnp.take_along_axis(spx, i[:, None], axis=1)[:, 0],
-                        jnp.take_along_axis(spy, i[:, None], axis=1)[:, 0],
+                        sampling.select_axis1(spx, i),
+                        sampling.select_axis1(spy, i),
                     ],
                     -1,
                 ).astype(jnp.float32),
@@ -434,29 +442,35 @@ def generate_anchors(
         A3, A2 = takepts(ia)
         B3, B2 = takepts(ib)
         C3, C2 = takepts(ic)
-        contains = _point_in_triangle(A2, B2, C2, jnp.stack([wx, wy], -1))
-        plane, degen = _plane_from_triangle(A3, B3, C3)
+        contains = _point_in_triangle(
+            A2, B2, C2, jnp.stack([wx, wy], -1)[:, None]
+        )
+        plane, degen = _plane_from_triangle(A3, B3, C3)  # [N, T, 4]
         ok = distinct & contains & ~degen
 
         dist = jnp.abs(
-            jnp.sum(plane[:, None, :3] * pts3d, axis=-1) + plane[:, None, 3]
-        )  # [N, D]
-        inlier = found & (dist / depth_diff < thr)
-        count = jnp.sum(inlier, axis=1)
+            jnp.sum(plane[:, :, None, :3] * pts3d[:, None], axis=-1)
+            + plane[:, :, 3:4]
+        )  # [N, T, D]
+        inlier = found[:, None] & (dist / depth_diff < thr)
+        count = jnp.sum(inlier, axis=2)  # [N, T]
         ok &= count >= 6  # APD.cu:1918
         center_dist = jnp.abs(
-            jnp.sum(plane[:, :3] * center3d, axis=-1) + plane[:, 3]
-        )
-        better = ok & (
-            (count > best_count) | ((count == best_count) & (center_dist < best_center_dist))
-        )
-        abc = jnp.stack([ia, ib, ic], -1)
+            jnp.sum(plane[..., :3] * center3d[:, None], axis=-1) + plane[..., 3]
+        )  # [N, T]
+        abc = jnp.stack([ia, ib, ic], -1)  # [N, T, 3]
+        for t in range(_RANSAC_CHUNK):
+            better = ok[:, t] & (
+                (count[:, t] > best_count)
+                | ((count[:, t] == best_count) & (center_dist[:, t] < best_center_dist))
+            )
+            best_count = jnp.where(better, count[:, t], best_count)
+            best_center_dist = jnp.where(better, center_dist[:, t], best_center_dist)
+            best_plane = jnp.where(better[:, None], plane[:, t], best_plane)
+            best_abc = jnp.where(better[:, None], abc[:, t], best_abc)
+            has_plane = has_plane | better
         return (
-            jnp.where(better, count, best_count),
-            jnp.where(better, center_dist, best_center_dist),
-            jnp.where(better[:, None], plane, best_plane),
-            jnp.where(better[:, None], abc, best_abc),
-            has_plane | better,
+            best_count, best_center_dist, best_plane, best_abc, has_plane
         ), None
 
     init = (
@@ -466,7 +480,7 @@ def generate_anchors(
         jnp.full((N, 3), -1, jnp.int32),
         jnp.zeros((N,), bool),
     )
-    keys = jax.random.split(k_ransac, _RANSAC_ITERS)
+    keys = jax.random.split(k_ransac, _RANSAC_ITERS // _RANSAC_CHUNK)
     (best_count, _, best_plane, best_abc, has_plane), _ = jax.lax.scan(
         ransac_step, init, keys
     )
@@ -820,36 +834,50 @@ def ransac_fit_planes(
     depth = geometry.depth_from_plane(ctx.cams.K[0], anchor_planes, axf, ayf)
     pts3d = geometry.pixel_dirs(ctx.cams.K[0], axf, ayf) * depth[..., None]
 
+    # chunked like generate_anchors' RANSAC: _RANSAC_CHUNK triangles per
+    # scan step (dense selects), sequential first-wins fold
     def step(carry, k_it):
         best_cost, best_plane, has = carry
-        idx = jax.random.randint(k_it, (N, 3), 0, 1 << 30) % jnp.maximum(cnt, 1)[:, None]
-        ia, ib, ic = idx[:, 0], idx[:, 1], idx[:, 2]
+        idx = jax.random.randint(k_it, (N, _RANSAC_CHUNK, 3), 0, 1 << 30)
+        idx = idx % jnp.maximum(cnt, 1)[:, None, None]
+        ia, ib, ic = idx[..., 0], idx[..., 1], idx[..., 2]  # [N, T]
         distinct = (ia != ib) & (ib != ic) & (ia != ic)
 
         def take3(i):
-            p3 = jnp.take_along_axis(pts3d, i[:, None, None].repeat(3, -1), axis=1)[:, 0]
-            p2 = jnp.take_along_axis(a, i[:, None, None].repeat(2, -1), axis=1)[:, 0]
+            p3 = sampling.select_axis1(pts3d, i)  # [N, T, 3]
+            p2 = sampling.select_axis1(a, i)  # [N, T, 2]
             return p3, p2.astype(jnp.float32)
 
         A3, A2 = take3(ia)
         B3, B2 = take3(ib)
         C3, C2 = take3(ic)
-        contains = _point_in_triangle(A2, B2, C2, jnp.stack([wx, wy], -1))
-        plane, degen = _plane_from_triangle(A3, B3, C3)
-        slot = jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
-        chosen = (slot == ia[:, None]) | (slot == ib[:, None]) | (slot == ic[:, None])
-        dist = jnp.abs(jnp.sum(plane[:, None, :3] * pts3d, -1) + plane[:, None, 3])
-        cost = jnp.sum(jnp.where(valid & ~chosen, dist, 0.0), axis=1)
-        ok = distinct & contains & ~degen & (cnt >= 3)
-        better = ok & (cost < best_cost)
-        return (
-            jnp.where(better, cost, best_cost),
-            jnp.where(better[:, None], plane, best_plane),
-            has | better,
-        ), None
+        contains = _point_in_triangle(
+            A2, B2, C2, jnp.stack([wx, wy], -1)[:, None]
+        )
+        plane, degen = _plane_from_triangle(A3, B3, C3)  # [N, T, 4]
+        slot = jnp.arange(valid.shape[1])[None, None]  # [1, 1, 8]
+        chosen = (
+            (slot == ia[..., None])
+            | (slot == ib[..., None])
+            | (slot == ic[..., None])
+        )  # [N, T, 8]
+        dist = jnp.abs(
+            jnp.sum(plane[:, :, None, :3] * pts3d[:, None], -1)
+            + plane[:, :, 3:4]
+        )  # [N, T, 8]
+        cost = jnp.sum(
+            jnp.where(valid[:, None] & ~chosen, dist, 0.0), axis=2
+        )  # [N, T]
+        ok = distinct & contains & ~degen & (cnt >= 3)[:, None]
+        for t in range(_RANSAC_CHUNK):
+            better = ok[:, t] & (cost[:, t] < best_cost)
+            best_cost = jnp.where(better, cost[:, t], best_cost)
+            best_plane = jnp.where(better[:, None], plane[:, t], best_plane)
+            has = has | better
+        return (best_cost, best_plane, has), None
 
     init = (jnp.full((N,), jnp.inf), jnp.zeros((N, 4), jnp.float32), jnp.zeros((N,), bool))
-    keys = jax.random.split(key, _RANSAC_ITERS)
+    keys = jax.random.split(key, _RANSAC_ITERS // _RANSAC_CHUNK)
     (_, best_plane, has), _ = jax.lax.scan(step, init, keys)
 
     # orient toward the camera (APD.cu:2368-2380); only the ray direction
@@ -960,11 +988,9 @@ def propagate_weak(
     cost_now = jnp.sum(weights * cv_now, axis=0) / jnp.maximum(weight_norm, 1e-30)
     cost_pre = cost_now
 
-    best_flag = jnp.take_along_axis(flag, min_idx[:, None], axis=1)[:, 0]
-    best_cost = jnp.take_along_axis(final_costs, min_idx[None], axis=0)[0]
-    best_plane = jnp.take_along_axis(
-        cand_planes, min_idx[:, None, None].repeat(4, -1), axis=1
-    )[:, 0]
+    best_flag = sampling.select_axis1(flag, min_idx)
+    best_cost = sampling.select_index(final_costs, min_idx)
+    best_plane = sampling.select_axis1(cand_planes, min_idx)
     depth_before = geometry.depth_from_plane(ctx.cams.K[0], best_plane, wx, wy)
     adopt = (
         best_flag

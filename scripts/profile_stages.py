@@ -89,7 +89,12 @@ def main():
         lambda ctx_, pw_, sel_, vw_, r: classify.depth_to_weak(ctx_, pw_, sel_, vw_, r, cfg),
         static_argnums=(4,),
     )
-    ps = d2w_j(ctx, pw, sel0, jnp.zeros((V, H, W)), 6)
+    # a realistic weak map: centered box covering 25% of pixels (real
+    # scenes run ~10-50% WEAK; the zero-view-weight classification used
+    # before marked ~96% WEAK and OOM'd the cols tables)
+    ps_np = np.full((H, W), PixelState.STRONG, np.uint8)
+    ps_np[H // 4 : 3 * H // 4, W // 4 : 3 * W // 4] = PixelState.WEAK
+    ps = jnp.asarray(ps_np)
     weak_count = int(np.sum(np.asarray(ps) == PixelState.WEAK))
     N = max(1 << int(np.ceil(np.log2(max(weak_count, 1)))), 1024)
     print(f"scene {W}x{H}x{V}v, weak {100.0*weak_count/(H*W):.1f}% -> capacity {N}")

@@ -94,3 +94,74 @@ def test_pallas_matches_xla_mirror(setup):
     diff = np.abs(got - want)
     assert np.mean(diff < 0.01) > 0.97, np.mean(diff < 0.01)
     assert np.median(diff) < 1e-3
+
+def test_pallas_now_exact(setup):
+    """exact=True dispatches the per-tile fixup kernel: the result must
+    match the mirror to fp tolerance everywhere (any-hypothesis
+    exactness). The default (exact=False) keeps v1's band-clamp semantics
+    — same speed, no fixup dispatch (PERF_NOTES round-3)."""
+    gc, images, depths, E, ref_pad, consts, planes_b, planes_cf, K_slices, v = setup
+    got = np.asarray(
+        ncc_volume.ncc_volume_cost_view(
+            E, ref_pad, planes_cf, consts, K_slices, interpret=True, exact=True
+        )
+    )
+    want = np.asarray(
+        ncc_volume.ncc_volume_cost_view_ref(E, ref_pad, planes_cf, consts, K_slices)
+    )
+    assert np.max(np.abs(got - want)) < 1e-4, np.max(np.abs(got - want))
+
+
+def test_rebased_builder_matches_formula(setup):
+    gc, images, depths, E, ref_pad, consts, planes_b, planes_cf, K_slices, v = setup
+    PH, PW = E.shape[1], E.shape[2]
+    rng = np.random.default_rng(0)
+    base_k = jnp.asarray(rng.uniform(0, K_slices - 1, (PH, PW)).astype(np.float32))
+    R, bf = ncc_volume.build_rebased_view(E, base_k, K_slices, interpret=True)
+    J = (ncc_volume.J2_REBASE - 1) // 2
+    b = np.clip(np.round(np.asarray(base_k)), J, K_slices - 1 - J).astype(np.int32)
+    assert np.array_equal(np.asarray(bf), b.astype(np.float32))
+    E_np = np.asarray(E)
+    for j in [0, J, ncc_volume.J2_REBASE - 1]:
+        want = np.take_along_axis(E_np, (b + j - J)[None], axis=0)[0]
+        np.testing.assert_allclose(np.asarray(R[j]), want, rtol=1e-6)
+
+
+def test_rebased_kernel_exact(setup):
+    """The rebased fast path must produce byte-identical costs to the
+    direct kernel / mirror — for bases near the hypotheses (fast path)
+    AND for bases far away (exact per-tile fallback)."""
+    gc, images, depths, E, ref_pad, consts, planes_b, planes_cf, K_slices, v = setup
+    PH, PW = E.shape[1], E.shape[2]
+    want = np.asarray(
+        ncc_volume.ncc_volume_cost_view_ref(E, ref_pad, planes_cf, consts, K_slices)
+    )
+    # base = the first candidate's own k field (the production choice):
+    # candidate 0 fits R everywhere, candidates 1-2 partially escalate
+    H, W = planes_cf.shape[2], planes_cf.shape[3]
+    x, y = geometry.pixel_grid(H, W)
+    d0 = geometry.depth_from_plane(gc.K[0], planes_b[0], x, y)
+    u_min = consts[0, 4]
+    du = consts[0, 5]
+    k0 = jnp.clip((1.0 / d0 - u_min) / du, 0, K_slices - 1)
+    base_k = jnp.pad(
+        k0, ((ncc_volume.PAD_Y, PH - H - ncc_volume.PAD_Y),
+             (ncc_volume.PAD_X, PW - W - ncc_volume.PAD_X)), mode="edge",
+    )
+    R, bf = ncc_volume.build_rebased_view(E, base_k, K_slices, interpret=True)
+    got = np.asarray(
+        ncc_volume.ncc_rebased_cost_view(
+            R, bf, E, ref_pad, planes_cf, consts, K_slices, interpret=True
+        )
+    )
+    assert np.max(np.abs(got - want)) < 1e-4, np.max(np.abs(got - want))
+    # adversarial base: uniform mid-grid, far from most hypotheses ->
+    # exercises the fallback heavily; must still be exact
+    base_far = jnp.full((PH, PW), K_slices / 2.0, jnp.float32)
+    R2, bf2 = ncc_volume.build_rebased_view(E, base_far, K_slices, interpret=True)
+    got2 = np.asarray(
+        ncc_volume.ncc_rebased_cost_view(
+            R2, bf2, E, ref_pad, planes_cf, consts, K_slices, interpret=True
+        )
+    )
+    assert np.max(np.abs(got2 - want)) < 1e-4, np.max(np.abs(got2 - want))
