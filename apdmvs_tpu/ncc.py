@@ -168,8 +168,8 @@ def build_image_volume_set(
     from apdmvs_tpu.ops import ncc_volume, volume as vol
 
     V, H, W = images.shape
-    Hp = _ceil_to(H, 8)
-    Wp = _ceil_to(W, 128)
+    Hp = _ceil_to(H, ncc_volume.NCC_TILE_H)
+    Wp = _ceil_to(W, ncc_volume.TILE_W)
     wc = geometry.warp_constants(cams)
     u_min, du = vol.inv_depth_grid(depth_min, depth_max, num_slices)
     Es = []
@@ -614,6 +614,52 @@ def cost_vector(
     costs = jax.lax.map(per_view, jnp.arange(ctx.num_views))
     shape = (ctx.num_views,) + (1,) * (costs.ndim - 1)
     return jnp.where(ctx.src_valid.reshape(shape), costs, COST_MAX)
+
+
+def cost_vector_full(
+    ctx: CostContext,
+    plane: jax.Array,
+    radius: int,
+    increment: int,
+) -> jax.Array:
+    """Grid-mode per-view NCC costs via the exact full-K kernel — for
+    hypotheses whose slice index is structurally unbounded (the refinement
+    random-depth combos, APD.cu:855-867: per-pixel uniform over the whole
+    depth range, so no fetch band can hold them and the L1+L2 scheme would
+    flag every tile). Point-mode and no-volume contexts fall back to
+    :func:`cost_vector` (its XLA paths are exact for any plane)."""
+    from apdmvs_tpu.ops import ncc_volume
+
+    vs = ctx.volumes
+    if vs is None:
+        return cost_vector(ctx, plane, radius, increment)
+    H, W = ctx.height, ctx.width
+    Hp = vs.ref_pad.shape[0] - 2 * ncc_volume.PAD_Y
+    Wp = vs.ref_pad.shape[1] - 2 * ncc_volume.PAD_X
+    squeeze = plane.ndim == 3
+    if squeeze:
+        plane = plane[None]
+    C = plane.shape[0]
+    planes_cf = jnp.moveaxis(plane, -1, 1)
+    if (Hp, Wp) != (H, W):
+        pad1 = jnp.zeros((C, 4, Hp - H, W), planes_cf.dtype).at[:, 2].set(-1.0).at[:, 3].set(1.0)
+        planes_cf = jnp.concatenate([planes_cf, pad1], axis=2)
+        pad2 = jnp.zeros((C, 4, Hp, Wp - W), planes_cf.dtype).at[:, 2].set(-1.0).at[:, 3].set(1.0)
+        planes_cf = jnp.concatenate([planes_cf, pad2], axis=3)
+    V = ctx.num_views
+    outs = [
+        ncc_volume.ncc_volume_cost_view_fullk(
+            vs.E[v], vs.ref_pad, planes_cf, vs.consts[v], vs.num_slices,
+            radius=radius, increment=increment,
+        )[:, :H, :W]
+        for v in range(1, V)
+    ]
+    costs = jnp.concatenate(
+        [jnp.full((1,) + outs[0].shape, COST_MAX, jnp.float32), jnp.stack(outs)]
+    )
+    shape = (V,) + (1,) * (costs.ndim - 1)
+    costs = jnp.where(ctx.src_valid.reshape(shape), costs, COST_MAX)
+    return costs[:, 0] if squeeze else costs
 
 
 def geom_cost_view(

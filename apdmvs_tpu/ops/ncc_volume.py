@@ -1,30 +1,50 @@
 """Fused multi-candidate NCC cost evaluation over plane-sweep volumes.
 
-The hot kernel of the framework (replaces the XLA formulation of
+The hot kernels of the framework (replace the XLA formulation of
 ComputeBilateralNCCOld + ComputeMultiViewCostVector, reference:
 APD.cu:530-614, 696-716, whose gather lowering is ~50 cycles/element —
 PERF_NOTES.md).
 
-Per (view, pixel-tile) the hot kernel:
-  1. DMAs the halo'd spatial window of the padded volume (all K slices of
-     E, or the 2J+1 rebased slices of R) and the padded ref image into
-     VMEM,
-  2. computes the fractional slice index k = (1/depth - u_min)/du of every
-     candidate plane once per candidate (k is exactly linear in the window
-     offset — pure VPU math, the depth-only warp identity, ops/__init__),
-  3. interpolates along K with a fixed fully-unrolled select band sized by
-     the candidate's closed-form index range; (tile, candidate)s whose
-     range escapes the band are sentinel-marked and recomputed exactly by
-     a separate fixup kernel (_fixup_kernel), so results match the XLA
-     mirror everywhere,
-  4. accumulates NCC sums for all candidates x window samples against one
-     VMEM residency of the window,
-  5. emits cost = clamp(1 - ncc, 0, 2) with the reference's degenerate-
-     variance and out-of-source-bounds cost_max policy (APD.cu:541-613).
+Architecture (round-3 redesign, measured on v5e — PERF_NOTES):
+
+Every evaluator is EXACT (bit-matches the XLA mirror) via a two-level
+scheme:
+
+  L1 *hot kernel* — a fixed, fully-unrolled select band emulates the
+     per-pixel slice interpolation:
+       - rebased path (_kernel_rb): the per-pixel index relative to the
+         base map b(p) deviates ~0.6 slices (p90) on real fields, so a
+         STATIC band of RB_BAND slices centered on the rebased origin J
+         covers almost everything. No per-tile scalar work in the hot
+         loop.
+       - direct path (_kernel): per-tile shared dynamic base c0 (min of
+         the candidates' closed-form ranges — k is linear in the window
+         offset) + a SUB_BAND-wide unrolled band.
+     Loads are shared across candidates (offset -> slice -> candidate
+     loop order): one slice load serves every candidate's select, the
+     single biggest measured win (PERF_NOTES round-3: 46 -> 35 ms naive).
+     Candidates whose index range escapes the band write a -1 sentinel
+     and flag their tile.
+  L2 *full-range fixup* (_fixup_call -> _kernel_fullk with sentinel
+     passthrough) — recomputes flagged tiles with a chunked full-K select
+     over E. Dispatch is gated by a host-level ``lax.cond(any(flags))``,
+     so calls with no escapes (the common case) pay nothing.
+
+``ncc_volume_cost_view_fullk`` exposes the full-K kernel directly for
+hypotheses that are *structurally* out-of-band — e.g. the refinement
+random-depth combos, whose per-pixel slice index is uniform over the
+whole depth range (propagation.py splits those off statically).
 
 Spatial padding convention: arrays are padded by (PAD_Y, PAD_X) =
 (8, 128) per side; E is *built* on the padded pixel grid (ops/volume
 build over padded dirs) so halo samples are exact, not border-clamped.
+The padded interior height must be a multiple of NCC_TILE_H (the volume
+builders pad to it).
+
+Measurement note: any per-call timing on the axon platform includes a
+~25 ms dispatch/transfer floor — a no-op pallas_call measures ~25 ms.
+Kernel costs below are AMORTIZED (fori_loop of chained calls inside one
+jit): the rebased hot kernel runs 5.4 ms at C=9, VGA, 1 view.
 """
 
 from __future__ import annotations
@@ -38,13 +58,18 @@ import numpy as np
 
 PAD_Y = 8
 PAD_X = 128
-TILE_H = 8
+TILE_H = 8  # builder/geom kernels' tile height
 TILE_W = 128
-SUB_BAND = 32  # direct-kernel interpolation band (slices). The base slice
-# is one scalar per (tile, candidate), so the band must cover the k spread
-# across the whole 8x128 tile plus the +-radius window — measured ~16
-# slices at VGA (PERF_NOTES round-3); ranges that escape are exact-fixed
-# by _fixup_kernel.
+NCC_TILE_H = 32  # NCC cost kernels' tile height (larger tiles amortize
+# per-tile DMA/scalar overhead ~4x; padded interior heights are multiples)
+SUB_BAND = 32  # direct-kernel L1 band (slices); the base is one shared
+# scalar per tile, so the band must cover the k spread across the whole
+# tile plus the +-radius window; tiles that escape take the L2 fixup.
+RB_BAND = 8  # rebased-kernel L1 band around the rebased origin J
+FULLK_CHUNK = 32  # L2 full-range select chunk (fori over K/chunk trips)
+_CAND_GROUP = 3  # candidates per shared-load group in the wide-band
+# kernels (direct L1, full-K): wider sharing at band>=25 exceeds Mosaic's
+# 16 MB scoped-vmem spill stack; the narrow rebased band shares across all
 COST_MAX = 2.0
 MIN_VAR = 1e-5
 
@@ -69,95 +94,6 @@ def pack_consts(K0: jax.Array, M: jax.Array, b: jax.Array, u_min, du,
 def _offsets(radius: int, increment: int):
     vals = list(range(-radius, radius + 1, increment))
     return [(dx, dy) for dx in vals for dy in vals]
-
-
-def _accumulate_ncc_unrolled(
-    winref, fields, ref_vals, offsets, c0, c0f, band
-):
-    """NCC partial sums via a fixed fully-unrolled ``band``-slice select
-    loop starting at slice ``c0`` (in-kernel indices clamp to the band —
-    callers flag out-of-band tiles and exact-recompute them, see
-    _kernel/_kernel_rb). This is the hot structure: Mosaic pipelines the
-    straight-line unrolled body; fori_loop variants measured ~3.5 us of
-    overhead PER LOOP (36 per candidate!) and lax.cond per candidate
-    ~0.8 s/pass of spill — both rejected empirically (PERF_NOTES)."""
-    s_s = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    s_ss = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    s_rs = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    for s_idx, (dx, dy) in enumerate(offsets):
-        rel = jnp.clip(fields[s_idx] - c0f, 0.0, band - 1.0)
-        r0 = jnp.floor(rel)
-        f = rel - r0
-        r0i = r0.astype(jnp.int32)
-        acc0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        acc1 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        prev_eq = None
-        for bb in range(band):
-            ev = winref[
-                c0 + bb,
-                TILE_H + dy : 2 * TILE_H + dy,
-                TILE_W + dx : 2 * TILE_W + dx,
-            ].astype(jnp.float32)
-            eq = r0i == bb
-            acc0 = jnp.where(eq, ev, acc0)
-            if prev_eq is not None:
-                acc1 = jnp.where(prev_eq, ev, acc1)
-            prev_eq = eq
-        sv = acc0 * (1.0 - f) + acc1 * f
-        rv = ref_vals[s_idx]
-        s_s = s_s + sv
-        s_ss = s_ss + sv * sv
-        s_rs = s_rs + rv * sv
-    return s_s, s_ss, s_rs
-
-
-def _accumulate_ncc(
-    winref, fields, ref_vals, offsets, c0, c0f, trips, chunk, nmax
-):
-    """NCC partial sums via adaptive-trip chunked select loops — exact for
-    ANY index range (trip bases clip to ``nmax - chunk``; the overlap
-    re-selects identical values — the equality select is idempotent).
-
-    Used ONLY on the rare exact-fixup path: the fori_loop costs ~3.5 us
-    per invocation, far too slow for the hot path (measured 342 ms/call
-    when used for everything) but fine for the few flagged tiles.
-
-    fields[s]: the fractional slice-index field of offset s, already
-    expressed relative to winref's slice axis. Requires fields >= c0 - ulp
-    and floor(fields)+1 <= c0 + trips*chunk (callers size trips so).
-    """
-    s_s = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    s_ss = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    s_rs = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    for s_idx, (dx, dy) in enumerate(offsets):
-        # max() guards the ulp where the field lands just under c0
-        rel = jnp.maximum(fields[s_idx] - c0f, 0.0)
-        r0 = jnp.floor(rel)
-        f = rel - r0
-        r0i = r0.astype(jnp.int32)
-
-        def body(ci, carry, _r0i=r0i, _dx=dx, _dy=dy):
-            a0, a1 = carry
-            base = jnp.minimum(c0 + ci * chunk, nmax - chunk)
-            rbase = base - c0
-            for bb in range(chunk):
-                ev = winref[
-                    base + bb,
-                    TILE_H + _dy : 2 * TILE_H + _dy,
-                    TILE_W + _dx : 2 * TILE_W + _dx,
-                ].astype(jnp.float32)
-                a0 = jnp.where(_r0i == rbase + bb, ev, a0)
-                a1 = jnp.where(_r0i == rbase + bb - 1, ev, a1)
-            return (a0, a1)
-
-        z = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        acc0, acc1 = jax.lax.fori_loop(0, trips, body, (z, z))
-        sv = acc0 * (1.0 - f) + acc1 * f
-        rv = ref_vals[s_idx]
-        s_s = s_s + sv
-        s_ss = s_ss + sv * sv
-        s_rs = s_rs + rv * sv
-    return s_s, s_ss, s_rs
 
 
 def _ncc_epilogue(s_r, s_rr, s_s, s_ss, s_rs, S):
@@ -189,76 +125,216 @@ def _center_oob(consts_ref, v, dirx, diry, u_c):
     return (wx < 0.0) | (wx >= src_w) | (wy < 0.0) | (wy >= src_h)
 
 
+def _plane_fields(consts_ref, planes_ref, c, dirx, diry):
+    """(u_c, k_c, kx, ky): the candidate's inverse-depth field at the tile
+    and its exact per-offset slice gradient — k(p, D) = k_c + kx*Dx + ky*Dy
+    (u(p+D) = u(p) - (nx Dx/fx + ny Dy/fy)/w, linear in the offset)."""
+    fx = consts_ref[0, 0]
+    fy = consts_ref[0, 1]
+    u_min = consts_ref[0, 4]
+    du = consts_ref[0, 5]
+    nx = planes_ref[c, 0]
+    ny = planes_ref[c, 1]
+    nz = planes_ref[c, 2]
+    w = planes_ref[c, 3]
+    u_c = -(nx * dirx + ny * diry + nz) / w
+    k_c = (u_c - u_min) / du
+    kx = -nx / (fx * w * du)
+    ky = -ny / (fy * w * du)
+    return u_c, k_c, kx, ky
+
+
+def _tile_grids(consts_ref, i, j, th):
+    ys = (
+        jax.lax.broadcasted_iota(jnp.int32, (th, TILE_W), 0) + i * th
+    ).astype(jnp.float32)
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, (th, TILE_W), 1) + j * TILE_W
+    ).astype(jnp.float32)
+    dirx = (xs - consts_ref[0, 2]) / consts_ref[0, 0]
+    diry = (ys - consts_ref[0, 3]) / consts_ref[0, 1]
+    return dirx, diry
+
+
+def _ref_sums(ref_tile, offsets, th):
+    s_r = jnp.zeros((th, TILE_W), jnp.float32)
+    s_rr = jnp.zeros((th, TILE_W), jnp.float32)
+    for (dx, dy) in offsets:
+        rv = ref_tile[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
+        s_r = s_r + rv
+        s_rr = s_rr + rv * rv
+    return s_r, s_rr
+
+
+# ---------------------------------------------------------------------------
+# L1 kernels
+# ---------------------------------------------------------------------------
+
+
+def _kernel_rb(
+    consts_ref,  # SMEM [1, NCONST]
+    planes_ref,  # VMEM [C, 4, TH, TILE_W]
+    r_hbm,  # ANY [J2, PH, PW] rebased volume
+    bf_hbm,  # ANY [PH, PW] f32 clipped base map
+    ref_hbm,  # ANY [PH, PW] f32
+    cost_ref,  # VMEM out [C, TH, TILE_W] (-1 = needs exact fixup)
+    flag_ref,  # SMEM out [Ty, Tx] i32 — any candidate escaped, per tile
+    r_win,  # scratch VMEM [J2, TH + 2*PAD_Y, 3*TILE_W]
+    bf_win,  # scratch VMEM [TH + 2*PAD_Y, 3*TILE_W] f32
+    ref_tile,  # scratch VMEM [TH + 2*PAD_Y, 3*TILE_W] f32
+    sems,  # DMA semaphores (3,)
+    *,
+    num_slices: int,
+    num_cands: int,
+    radius: int,
+    increment: int,
+    j2: int,
+):
+    """Rebased L1: static RB_BAND-slice select around the rebased origin J.
+
+    The rebased index j = k(candidate, sample) - b(sample) + J is the
+    candidate's deviation from the current estimate at the sample position
+    (~0.6 slices p90 on real fields; PERF_NOTES round-3), so the static
+    narrow band covers almost all tiles. Loads are shared across all
+    candidates per (offset, slice). Escapes are sentinel-marked for the
+    cond-gated L2.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    th = NCC_TILE_H
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    J = (j2 - 1) // 2
+    b_lo = max(J - RB_BAND // 2, 0)
+    b_hi = min(b_lo + RB_BAND, j2)
+
+    def win(hbm, dst, sem):
+        return pltpu.make_async_copy(
+            hbm.at[..., pl.ds(i * th, th + 2 * PAD_Y), pl.ds(j * TILE_W, 3 * TILE_W)],
+            dst,
+            sem,
+        )
+
+    ref_dma = win(ref_hbm, ref_tile, sems.at[0])
+    bf_dma = win(bf_hbm, bf_win, sems.at[1])
+    r_dma = win(r_hbm, r_win, sems.at[2])
+    ref_dma.start()
+    bf_dma.start()
+    r_dma.start()
+
+    dirx, diry = _tile_grids(consts_ref, i, j, th)
+    offsets = _offsets(radius, increment)
+    S = float(len(offsets))
+    kmaxf = float(num_slices - 1)
+
+    ref_dma.wait()
+    s_r, s_rr = _ref_sums(ref_tile, offsets, th)
+    bf_dma.wait()
+    r_dma.wait()
+
+    fields = [
+        _plane_fields(consts_ref, planes_ref, c, dirx, diry)
+        for c in range(num_cands)
+    ]
+
+    sums = [
+        [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(3)]
+        for _ in range(num_cands)
+    ]
+    jmin = [jnp.asarray(jnp.inf) for _ in range(num_cands)]
+    jmax = [jnp.asarray(-jnp.inf) for _ in range(num_cands)]
+    for (dx, dy) in offsets:
+        bfs = bf_win[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
+        r0i, fr = [], []
+        acc0 = [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(num_cands)]
+        acc1 = [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(num_cands)]
+        for c in range(num_cands):
+            u_c, k_c, kx, ky = fields[c]
+            k = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
+            raw = k - bfs + J
+            jmin[c] = jnp.minimum(jmin[c], jnp.min(raw))
+            jmax[c] = jnp.maximum(jmax[c], jnp.max(raw))
+            rel = jnp.clip(raw, float(b_lo), b_hi - 1.0)
+            r0 = jnp.floor(rel)
+            r0i.append(r0.astype(jnp.int32))
+            fr.append(rel - r0)
+        prev = [None] * num_cands
+        for bb in range(b_lo, b_hi):
+            ev = r_win[
+                bb, PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx
+            ].astype(jnp.float32)
+            for c in range(num_cands):
+                eq = r0i[c] == bb
+                acc0[c] = jnp.where(eq, ev, acc0[c])
+                if prev[c] is not None:
+                    acc1[c] = jnp.where(prev[c], ev, acc1[c])
+                prev[c] = eq
+        rv = ref_tile[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
+        for c in range(num_cands):
+            sv = acc0[c] * (1.0 - fr[c]) + acc1[c] * fr[c]
+            sums[c][0] = sums[c][0] + sv
+            sums[c][1] = sums[c][1] + sv * sv
+            sums[c][2] = sums[c][2] + rv * sv
+
+    need_e = jnp.asarray(False)
+    for c in range(num_cands):
+        cost = _ncc_epilogue(s_r, s_rr, sums[c][0], sums[c][1], sums[c][2], S)
+        oob = _center_oob(consts_ref, 0, dirx, diry, fields[c][0])
+        # NaN jmin/jmax propagate -> fits False -> L2 recomputes exactly
+        fits = (jmin[c] >= float(b_lo)) & (jmax[c] <= b_hi - 1.5)
+        need_e = need_e | ~fits
+        cost_ref[c] = jnp.where(oob, COST_MAX, jnp.where(fits, cost, -1.0))
+    flag_ref[i, j] = need_e.astype(jnp.int32)
+
+
 def _kernel(
     consts_ref,  # SMEM [1, NCONST]
-    planes_ref,  # VMEM [C, 4, TILE_H, TILE_W] (n_cam, w) fields
+    planes_ref,  # VMEM [C, 4, TH, TILE_W]
     e_hbm,  # ANY [K, PH, PW]
     ref_hbm,  # ANY [PH, PW] f32
-    cost_ref,  # VMEM out [C, TILE_H, TILE_W] f32 (-1 = needs exact fixup)
-    flag_ref,  # SMEM out [Ty, Tx] i32 — any candidate escaped, per tile
-    e_win,  # scratch VMEM [K, 3*TILE_H, 3*TILE_W]
-    ref_tile,  # scratch VMEM [3*TILE_H, 3*TILE_W] f32
+    cost_ref,  # VMEM out [C, TH, TILE_W] (-1 = needs exact fixup)
+    flag_ref,  # SMEM out [Ty, Tx] i32
+    e_win,  # scratch VMEM [K, TH + 2*PAD_Y, 3*TILE_W]
+    ref_tile,  # scratch VMEM [TH + 2*PAD_Y, 3*TILE_W] f32
     sems,  # DMA semaphores (2,)
     *,
     num_slices: int,
     num_cands: int,
     radius: int,
     increment: int,
-    mark_escapes: bool,
 ):
-    """Direct (non-rebased) kernel.
+    """Direct L1: SUB_BAND-slice select at a per-tile shared dynamic base.
 
-    v2 design (PERF_NOTES round-3 ledger):
-    - *Linear k*: the slice index is exactly linear in the window offset
-      (u(p+Δ) = u(p) − (nxΔx/fx + nyΔy/fy)/w): per candidate, compute the
-      center field k_c and gradients (kx, ky) once; each offset is 2 FMAs,
-      and the select-loop base comes from the closed-form k range — no
-      per-offset pre-pass.
-    - *Hot path stays straight-line*: a fixed fully-unrolled SUB_BAND
-      select loop per (candidate, offset), exactly v1's structure (per-
-      candidate lax.cond and per-offset adaptive fori_loops both measured
-      much slower — see _accumulate_ncc_unrolled).
-    - *Exactness via per-tile fixup*: candidates whose k range escapes the
-      band are recomputed exactly in ONE @pl.when block per tile (rare:
-      measured tile k-spread is ~16 slices at VGA). v1's silent SUB_BAND
-      clamp is gone — results match the XLA mirror everywhere.
+    The shared base c0 = clip(floor(min_c k_lo_c)) lets one slice load
+    serve every candidate's select (the candidates of one call are
+    adjacent hypotheses, so their ranges largely overlap). Candidates
+    whose range escapes [c0, c0 + SUB_BAND) are sentinel-marked for the
+    cond-gated L2 (depth-edge tiles: the k spread across a 128-lane tile
+    exceeds the band exactly where the scene depth jumps — measured 13%
+    of (candidate, pixel)s differ >0.1 under the old silent clamp).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    th = NCC_TILE_H
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    fx = consts_ref[0, 0]
-    fy = consts_ref[0, 1]
-    cx = consts_ref[0, 2]
-    cy = consts_ref[0, 3]
-    u_min = consts_ref[0, 4]
-    du = consts_ref[0, 5]
-
     ref_dma = pltpu.make_async_copy(
-        ref_hbm.at[pl.ds(i * TILE_H, 3 * TILE_H), pl.ds(j * TILE_W, 3 * TILE_W)],
+        ref_hbm.at[pl.ds(i * th, th + 2 * PAD_Y), pl.ds(j * TILE_W, 3 * TILE_W)],
         ref_tile,
         sems.at[0],
     )
     ref_dma.start()
     e_dma = pltpu.make_async_copy(
-        e_hbm.at[:, pl.ds(i * TILE_H, 3 * TILE_H), pl.ds(j * TILE_W, 3 * TILE_W)],
+        e_hbm.at[:, pl.ds(i * th, th + 2 * PAD_Y), pl.ds(j * TILE_W, 3 * TILE_W)],
         e_win,
         sems.at[1],
     )
     e_dma.start()
 
-    # Mosaic iota must be integer-typed
-    ys = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + i * TILE_H
-    ).astype(jnp.float32)
-    xs = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
-    ).astype(jnp.float32)
-    dirx = (xs - cx) / fx
-    diry = (ys - cy) / fy
-
+    dirx, diry = _tile_grids(consts_ref, i, j, th)
     offsets = _offsets(radius, increment)
     S = float(len(offsets))
     K = num_slices
@@ -266,95 +342,337 @@ def _kernel(
     band = min(SUB_BAND, K)
 
     ref_dma.wait()
-    s_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    s_rr = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    ref_vals = []
-    for (dx, dy) in offsets:
-        rv = ref_tile[
-            TILE_H + dy : 2 * TILE_H + dy, TILE_W + dx : 2 * TILE_W + dx
-        ]
-        ref_vals.append(rv)
-        s_r = s_r + rv
-        s_rr = s_rr + rv * rv
-
+    s_r, s_rr = _ref_sums(ref_tile, offsets, th)
     e_dma.wait()
 
-    def k_range(c):
-        nx = planes_ref[c, 0]
-        ny = planes_ref[c, 1]
-        nz = planes_ref[c, 2]
-        w = planes_ref[c, 3]
-        u_c = -(nx * dirx + ny * diry + nz) / w
-        k_c = (u_c - u_min) / du
-        # k(p, Δ) = k_c(p) + kx(p)·Δx + ky(p)·Δy — exactly linear in Δ
-        kx = -nx / (fx * w * du)
-        ky = -ny / (fy * w * du)
-        span = radius * (jnp.abs(kx) + jnp.abs(ky))
-        k_lo = jnp.min(k_c - span)
-        k_hi = jnp.max(k_c + span)
-        # NaN (degenerate w) -> full range
-        k_lo = jnp.clip(jnp.where(jnp.isnan(k_lo), 0.0, k_lo), 0.0, kmaxf)
-        k_hi = jnp.clip(jnp.where(jnp.isnan(k_hi), kmaxf, k_hi), 0.0, kmaxf)
-        return u_c, k_c, kx, ky, k_lo, k_hi
-
+    # candidates in groups of _CAND_GROUP: loads are shared within a
+    # group; larger groups at this band width blow Mosaic's 16 MB scoped-
+    # vmem spill stack (measured: band 25, group 9, TILE 32 -> 16.34 MB)
     need_e = jnp.asarray(False)
-    for c in range(num_cands):
-        u_c, k_c, kx, ky, k_lo, k_hi = k_range(c)
-        c0 = jnp.clip(jnp.floor(k_lo).astype(jnp.int32), 0, max(K - band, 0))
+    for g0 in range(0, num_cands, _CAND_GROUP):
+        cg = list(range(g0, min(g0 + _CAND_GROUP, num_cands)))
+        fields = {
+            c: _plane_fields(consts_ref, planes_ref, c, dirx, diry) for c in cg
+        }
+        # shared per-group base from the candidates' closed-form ranges
+        k_lo_all = jnp.asarray(jnp.inf)
+        k_hi, k_lo = {}, {}
+        for c in cg:
+            _, k_c, kx, ky = fields[c]
+            span = radius * (jnp.abs(kx) + jnp.abs(ky))
+            lo = jnp.min(k_c - span)
+            hi = jnp.max(k_c + span)
+            lo = jnp.clip(jnp.where(jnp.isnan(lo), 0.0, lo), 0.0, kmaxf)
+            hi = jnp.clip(jnp.where(jnp.isnan(hi), kmaxf, hi), 0.0, kmaxf)
+            # NaN ranges (degenerate w) force the fixup
+            nan = jnp.isnan(jnp.min(k_c)) | jnp.isnan(jnp.max(k_c))
+            k_lo[c] = lo
+            k_hi[c] = jnp.where(nan, jnp.inf, hi)
+            k_lo_all = jnp.minimum(k_lo_all, lo)
+        c0 = jnp.clip(jnp.floor(k_lo_all).astype(jnp.int32), 0, max(K - band, 0))
         c0f = c0.astype(jnp.float32)
-        # exact when every sample's floor(k)+1 stays inside the band
-        # (k_hi = K-1 exactly has f = 0, so <= band - 1 suffices there;
-        # we conservatively flag it — rare top-edge tiles recompute)
-        fits = (k_hi - c0f) <= (band - 1.5)
-        need_e = need_e | ~fits
 
-        ks = [
-            jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
-            for (dx, dy) in offsets
-        ]
-        s_s, s_ss, s_rs = _accumulate_ncc_unrolled(
-            e_win, ks, ref_vals, offsets, c0, c0f, band
-        )
-        cost = _ncc_epilogue(s_r, s_rr, s_s, s_ss, s_rs, S)
-        oob = _center_oob(consts_ref, 0, dirx, diry, u_c)
-        if mark_escapes:
-            # escaped candidates marked with the -1 sentinel; the separate
-            # fixup kernel recomputes exactly those pixels. (Any in-kernel
-            # branch — even untaken — measured far too expensive, hence
-            # the two-kernel structure; the fixup dispatch itself costs
-            # ~13 ms/call, hence exact mode is opt-in: PERF_NOTES round-3.)
-            cost_ref[c] = jnp.where(
-                oob, COST_MAX, jnp.where(fits, cost, -1.0)
-            )
-        else:
-            # band-clamped semantics: escaped samples decorrelate -> high
-            # cost -> the hypothesis is rejected (conservative); measured
-            # tile k-spread is ~16 <= SUB_BAND on real scenes
-            cost_ref[c] = jnp.where(oob, COST_MAX, cost)
+        sums = {c: [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(3)]
+                for c in cg}
+        for (dx, dy) in offsets:
+            r0i, fr = {}, {}
+            acc0 = {c: jnp.zeros((th, TILE_W), jnp.float32) for c in cg}
+            acc1 = {c: jnp.zeros((th, TILE_W), jnp.float32) for c in cg}
+            for c in cg:
+                _, k_c, kx, ky = fields[c]
+                k = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
+                rel = jnp.clip(k - c0f, 0.0, band - 1.0)
+                r0 = jnp.floor(rel)
+                r0i[c] = r0.astype(jnp.int32)
+                fr[c] = rel - r0
+            prev = {c: None for c in cg}
+            for bb in range(band):
+                ev = e_win[
+                    c0 + bb,
+                    PAD_Y + dy : PAD_Y + dy + th,
+                    TILE_W + dx : 2 * TILE_W + dx,
+                ].astype(jnp.float32)
+                for c in cg:
+                    eq = r0i[c] == bb
+                    acc0[c] = jnp.where(eq, ev, acc0[c])
+                    if prev[c] is not None:
+                        acc1[c] = jnp.where(prev[c], ev, acc1[c])
+                    prev[c] = eq
+            rv = ref_tile[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
+            for c in cg:
+                sv = acc0[c] * (1.0 - fr[c]) + acc1[c] * fr[c]
+                sums[c][0] = sums[c][0] + sv
+                sums[c][1] = sums[c][1] + sv * sv
+                sums[c][2] = sums[c][2] + rv * sv
+
+        for c in cg:
+            cost = _ncc_epilogue(s_r, s_rr, sums[c][0], sums[c][1], sums[c][2], S)
+            oob = _center_oob(consts_ref, 0, dirx, diry, fields[c][0])
+            # exact when every sample's floor(k)+1 stays inside the band
+            # (k_hi = K-1 exactly has f = 0, so <= band - 1 suffices there;
+            # we conservatively flag it — rare top-edge tiles recompute)
+            fits = (k_lo[c] >= c0f) & ((k_hi[c] - c0f) <= (band - 1.5))
+            need_e = need_e | ~fits
+            cost_ref[c] = jnp.where(oob, COST_MAX, jnp.where(fits, cost, -1.0))
     flag_ref[i, j] = need_e.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# L2: full-range kernel (fixup + structurally-out-of-band hypotheses)
+# ---------------------------------------------------------------------------
+
+
+def _fullk_tile(
+    consts_ref, planes_ref, e_win, ref_tile, dirx, diry,
+    num_slices, num_cands, offsets,
+):
+    """Exact full-K NCC costs of a tile: chunked select over all slices
+    (fori over K/FULLK_CHUNK trips with an unrolled chunk body — straight-
+    line inside, bounded compile size outside). Returns list of costs."""
+    th = NCC_TILE_H
+    S = float(len(offsets))
+    K = num_slices
+    kmaxf = float(K - 1)
+    chunk = min(FULLK_CHUNK, K)
+    trips = -(-K // chunk)
+
+    s_r, s_rr = _ref_sums(ref_tile, offsets, th)
+    costs = [None] * num_cands
+    for g0 in range(0, num_cands, _CAND_GROUP):
+        cg = list(range(g0, min(g0 + _CAND_GROUP, num_cands)))
+        fields = {
+            c: _plane_fields(consts_ref, planes_ref, c, dirx, diry) for c in cg
+        }
+        sums = {c: [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(3)]
+                for c in cg}
+        for (dx, dy) in offsets:
+            r0i, fr = {}, {}
+            for c in cg:
+                _, k_c, kx, ky = fields[c]
+                k = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
+                r0 = jnp.floor(k)
+                r0i[c] = r0.astype(jnp.int32)
+                fr[c] = k - r0
+
+            def body(ci, carry, _r0i=r0i, _dx=dx, _dy=dy, _cg=cg):
+                accs = list(carry)
+                base = ci * chunk
+                for bb in range(chunk):
+                    ev = e_win[
+                        base + bb,
+                        PAD_Y + _dy : PAD_Y + _dy + th,
+                        TILE_W + _dx : 2 * TILE_W + _dx,
+                    ].astype(jnp.float32)
+                    for ci_, c in enumerate(_cg):
+                        sl = base + bb
+                        accs[2 * ci_] = jnp.where(
+                            _r0i[c] == sl, ev, accs[2 * ci_]
+                        )
+                        accs[2 * ci_ + 1] = jnp.where(
+                            _r0i[c] == sl - 1, ev, accs[2 * ci_ + 1]
+                        )
+                return tuple(accs)
+
+            z = jnp.zeros((th, TILE_W), jnp.float32)
+            accs = jax.lax.fori_loop(0, trips, body, (z,) * (2 * len(cg)))
+            rv = ref_tile[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
+            for ci_, c in enumerate(cg):
+                sv = accs[2 * ci_] * (1.0 - fr[c]) + accs[2 * ci_ + 1] * fr[c]
+                sums[c][0] = sums[c][0] + sv
+                sums[c][1] = sums[c][1] + sv * sv
+                sums[c][2] = sums[c][2] + rv * sv
+
+        for c in cg:
+            cost = _ncc_epilogue(s_r, s_rr, sums[c][0], sums[c][1], sums[c][2], S)
+            oob = _center_oob(consts_ref, 0, dirx, diry, fields[c][0])
+            costs[c] = jnp.where(oob, COST_MAX, cost)
+    return costs
+
+
+def _kernel_fullk(
+    consts_ref,  # SMEM [1, NCONST]
+    planes_ref,  # VMEM [C, 4, TH, TILE_W]
+    e_hbm,  # ANY [K, PH, PW]
+    ref_hbm,  # ANY [PH, PW] f32
+    cost_ref,  # VMEM out [C, TH, TILE_W]
+    e_win,
+    ref_tile,
+    sems,
+    *,
+    num_slices: int,
+    num_cands: int,
+    radius: int,
+    increment: int,
+):
+    """Standalone exact full-K evaluator (no L1): for hypotheses whose
+    slice index is structurally unbounded (refinement random-depth combos,
+    reference APD.cu:855-867 — per-pixel uniform over the depth range)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    th = NCC_TILE_H
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ref_dma = pltpu.make_async_copy(
+        ref_hbm.at[pl.ds(i * th, th + 2 * PAD_Y), pl.ds(j * TILE_W, 3 * TILE_W)],
+        ref_tile,
+        sems.at[0],
+    )
+    ref_dma.start()
+    e_dma = pltpu.make_async_copy(
+        e_hbm.at[:, pl.ds(i * th, th + 2 * PAD_Y), pl.ds(j * TILE_W, 3 * TILE_W)],
+        e_win,
+        sems.at[1],
+    )
+    e_dma.start()
+    dirx, diry = _tile_grids(consts_ref, i, j, th)
+    ref_dma.wait()
+    e_dma.wait()
+    costs = _fullk_tile(
+        consts_ref, planes_ref, e_win, ref_tile, dirx, diry,
+        num_slices, num_cands, _offsets(radius, increment),
+    )
+    for c in range(num_cands):
+        cost_ref[c] = costs[c]
+
+
+def _fixup_kernel(
+    flags_ref,  # SMEM [Ty, Tx] i32 per-tile escape flags from the L1 kernel
+    consts_ref,  # SMEM [1, NCONST]
+    planes_ref,  # VMEM [C, 4, TH, TILE_W]
+    cost_in_ref,  # VMEM [C, TH, TILE_W] L1 costs (-1 sentinel)
+    e_hbm,  # ANY [K, PH, PW]
+    ref_hbm,  # ANY [PH, PW] f32
+    cost_out_ref,  # VMEM out [C, TH, TILE_W]
+    e_win,
+    ref_tile,
+    sems,
+    *,
+    num_slices: int,
+    num_cands: int,
+    radius: int,
+    increment: int,
+):
+    """L2: exact recomputation of sentinel-marked costs, skipping clean
+    tiles (separate kernel + host-level lax.cond gate, see module
+    docstring; an inline @pl.when in the hot kernel measured ~25 us/tile
+    even untaken)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # program ids must be read OUTSIDE the pl.when bodies (the interpret
+    # path lowers branch bodies as plain lax.cond, where program_id has no
+    # lowering rule)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    flag = flags_ref[i, j]
+
+    @pl.when(flag == 0)
+    def _copy_through():
+        for c in range(num_cands):
+            cost_out_ref[c] = cost_in_ref[c]
+
+    @pl.when(flag != 0)
+    def _recompute():
+        th = NCC_TILE_H
+        ref_dma = pltpu.make_async_copy(
+            ref_hbm.at[pl.ds(i * th, th + 2 * PAD_Y), pl.ds(j * TILE_W, 3 * TILE_W)],
+            ref_tile,
+            sems.at[0],
+        )
+        ref_dma.start()
+        e_dma = pltpu.make_async_copy(
+            e_hbm.at[:, pl.ds(i * th, th + 2 * PAD_Y), pl.ds(j * TILE_W, 3 * TILE_W)],
+            e_win,
+            sems.at[1],
+        )
+        e_dma.start()
+        dirx, diry = _tile_grids(consts_ref, i, j, th)
+        ref_dma.wait()
+        e_dma.wait()
+        costs = _fullk_tile(
+            consts_ref, planes_ref, e_win, ref_tile, dirx, diry,
+            num_slices, num_cands, _offsets(radius, increment),
+        )
+        for c in range(num_cands):
+            prev = cost_in_ref[c]
+            cost_out_ref[c] = jnp.where(prev < 0.0, costs[c], prev)
+
+
+def _fixup_call(flags, consts, planes_cf, cost1, E_pad, ref_pad,
+                num_slices, radius, increment, interpret):
+    """Cond-gated L2 dispatch: runs the fixup kernel only when some tile
+    flagged (host-level lax.cond — calls with no escapes pay nothing;
+    under vmap the cond degrades to a select and both branches run)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, _, H, W = planes_cf.shape
+    K = E_pad.shape[0]
+    kernel = functools.partial(
+        _fixup_kernel,
+        num_slices=num_slices,
+        num_cands=C,
+        radius=radius,
+        increment=increment,
+    )
+
+    def fix(cost1_):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.float32),
+            grid=(H // NCC_TILE_H, W // TILE_W),
+            in_specs=[
+                pl.BlockSpec(
+                    (H // NCC_TILE_H, W // TILE_W), lambda i, j: (0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1, _NCONST), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (C, 4, NCC_TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (C, NCC_TILE_H, TILE_W), lambda i, j: (0, i, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (C, NCC_TILE_H, TILE_W), lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((K, NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), E_pad.dtype),
+                pltpu.VMEM((NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(flags, consts, planes_cf, cost1_, E_pad, ref_pad)
+
+    return jax.lax.cond(jnp.any(flags != 0), fix, lambda c: c, cost1)
 
 
 # ---------------------------------------------------------------------------
 # Rebased volumes: R[j, p] = E[b(p) + j - J, p]
 # ---------------------------------------------------------------------------
 #
-# The direct kernel's cost is dominated by emulating the per-pixel slice
-# gather with a select loop whose width must cover the k spread across the
-# 8x128 tile — ~16 slices at VGA on sloped scenes (the 128-lane extent), so
-# every tile pays a >=SUB_BAND-wide loop. Rebasing the volume on a per-pixel
-# base slice b(p) (the slice of the *current depth estimate* at p) makes the
-# index j = k_cand(p+Δ) - b(p+Δ) the *deviation of the candidate from the
-# current estimate at the sample position* — measured ~0.6 slices (p99 ~12)
-# on real plane fields, because candidate planes and the current depth both
-# follow the local surface slope. The fetch loop then runs over an 8-slice
-# band of R instead of 32+ of E; candidates deviating beyond R (depth edges,
-# wild hypotheses) fall back to an exact adaptive-trip loop over E, so the
-# result is exact everywhere (identical to ncc_volume_cost_view).
+# The direct kernel's band must cover the k spread across a whole
+# (NCC_TILE_H x 128) tile — ~16 slices at VGA on sloped scenes, and far
+# beyond SUB_BAND wherever the tile crosses a depth edge. Rebasing the
+# volume on a per-pixel base slice b(p) (the slice of the *current depth
+# estimate* at p) makes the index j = k_cand(p+D) - b(p+D) the *deviation
+# of the candidate from the current estimate at the sample position* —
+# measured ~0.6 slices (p99 ~12) on real plane fields, because candidate
+# planes and the current depth both follow the local surface slope AND its
+# discontinuities (the base map jumps with the scene, absorbing depth
+# edges entirely). The fetch loop then runs over a static RB_BAND-slice
+# band of R; candidates deviating beyond it (wild hypotheses) take the L2
+# fixup from E, so the result is exact everywhere.
 
 J_REBASE = 12  # R covers b(p) +- J_REBASE slices
 J2_REBASE = 2 * J_REBASE + 1
-RB_CHUNK = 8  # R-path select-loop chunk
-E_CHUNK = 32  # E-path (fallback) select-loop chunk
 
 
 def _rebase_kernel(e_ref, bk_ref, r_ref, bf_ref, *, num_slices, j2):
@@ -429,309 +747,9 @@ def build_rebased_view(
     return R, bf
 
 
-def _kernel_rb(
-    consts_ref,  # SMEM [1, NCONST]
-    planes_ref,  # VMEM [C, 4, TILE_H, TILE_W]
-    r_hbm,  # ANY [J2, PH, PW] rebased volume
-    bf_hbm,  # ANY [PH, PW] f32 clipped base map
-    ref_hbm,  # ANY [PH, PW] f32
-    cost_ref,  # VMEM out [C, TILE_H, TILE_W] (-1 = needs exact fixup)
-    flag_ref,  # SMEM out [Ty, Tx] i32 — any candidate escaped, per tile
-    r_win,  # scratch VMEM [J2, 3*TILE_H, 3*TILE_W]
-    bf_win,  # scratch VMEM [3*TILE_H, 3*TILE_W] f32
-    ref_tile,  # scratch VMEM [3*TILE_H, 3*TILE_W] f32
-    sems,  # DMA semaphores (3,)
-    *,
-    num_slices: int,
-    num_cands: int,
-    radius: int,
-    increment: int,
-    j2: int,
-):
-    """Rebased fast-path kernel (see the section comment above).
-
-    Every candidate runs a fixed unrolled RB_CHUNK-slice select over the
-    rebased window — 4x less select work than the direct kernel's
-    slope-spread band, and ~6x less HBM traffic (R's 2J+1 slices move
-    instead of E's K). Candidates whose rebased index range escapes the
-    band are sentinel-marked (cost -1) and the tile flagged; the separate
-    _fixup_kernel recomputes them exactly from E. No in-kernel branch —
-    even an untaken @pl.when measured ~25 us/tile of spill overhead
-    (PERF_NOTES round-3).
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    J = (j2 - 1) // 2
-
-    fx = consts_ref[0, 0]
-    fy = consts_ref[0, 1]
-    cx = consts_ref[0, 2]
-    cy = consts_ref[0, 3]
-    u_min = consts_ref[0, 4]
-    du = consts_ref[0, 5]
-
-    def win(hbm, dst, sem):
-        return pltpu.make_async_copy(
-            hbm.at[..., pl.ds(i * TILE_H, 3 * TILE_H), pl.ds(j * TILE_W, 3 * TILE_W)],
-            dst,
-            sem,
-        )
-
-    ref_dma = win(ref_hbm, ref_tile, sems.at[0])
-    bf_dma = win(bf_hbm, bf_win, sems.at[1])
-    r_dma = win(r_hbm, r_win, sems.at[2])
-    ref_dma.start()
-    bf_dma.start()
-    r_dma.start()
-
-    ys = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + i * TILE_H
-    ).astype(jnp.float32)
-    xs = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
-    ).astype(jnp.float32)
-    dirx = (xs - cx) / fx
-    diry = (ys - cy) / fy
-
-    offsets = _offsets(radius, increment)
-    S = float(len(offsets))
-    K = num_slices
-    kmaxf = float(K - 1)
-    rb_chunk = min(RB_CHUNK, j2)
-
-    ref_dma.wait()
-    s_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    s_rr = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    ref_vals = []
-    for (dx, dy) in offsets:
-        rv = ref_tile[TILE_H + dy : 2 * TILE_H + dy, TILE_W + dx : 2 * TILE_W + dx]
-        ref_vals.append(rv)
-        s_r = s_r + rv
-        s_rr = s_rr + rv * rv
-    bf_dma.wait()
-    bf_shifts = [
-        bf_win[TILE_H + dy : 2 * TILE_H + dy, TILE_W + dx : 2 * TILE_W + dx]
-        for (dx, dy) in offsets
-    ]
-    r_dma.wait()
-
-    need_e = jnp.asarray(False)
-    for c in range(num_cands):
-        nx = planes_ref[c, 0]
-        ny = planes_ref[c, 1]
-        nz = planes_ref[c, 2]
-        w = planes_ref[c, 3]
-        u_c = -(nx * dirx + ny * diry + nz) / w
-        k_c = (u_c - u_min) / du
-        kx = -nx / (fx * w * du)
-        ky = -ny / (fy * w * du)
-
-        js = []
-        jmin = jnp.asarray(float(j2), jnp.float32)
-        jmax = jnp.asarray(-1.0, jnp.float32)
-        for s_idx, (dx, dy) in enumerate(offsets):
-            k = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
-            jf = k - bf_shifts[s_idx] + J
-            js.append(jf)
-            jmin = jnp.minimum(jmin, jnp.min(jf))
-            jmax = jnp.maximum(jmax, jnp.max(jf))
-        c0 = jnp.clip(jnp.floor(jmin).astype(jnp.int32), 0, max(j2 - rb_chunk, 0))
-        c0f = c0.astype(jnp.float32)
-        # NaN jmin/jmax propagate -> fits False -> exact fixup; the band
-        # test keeps the hot loop a fixed unrolled rb_chunk slices
-        fits = (jmin >= 0.0) & (jmax - c0f <= rb_chunk - 1.5)
-        need_e = need_e | ~fits
-
-        s_s, s_ss, s_rs = _accumulate_ncc_unrolled(
-            r_win, js, ref_vals, offsets, c0, c0f, rb_chunk
-        )
-        cost = _ncc_epilogue(s_r, s_rr, s_s, s_ss, s_rs, S)
-        oob = _center_oob(consts_ref, 0, dirx, diry, u_c)
-        cost_ref[c] = jnp.where(
-            oob, COST_MAX, jnp.where(fits, cost, -1.0)
-        )
-    flag_ref[i, j] = need_e.astype(jnp.int32)
-
-
-def _fixup_kernel(
-    flags_ref,  # SMEM [Ty, Tx] i32 per-tile escape flags from the hot kernel
-    consts_ref,  # SMEM [1, NCONST]
-    planes_ref,  # VMEM [C, 4, TILE_H, TILE_W]
-    cost_in_ref,  # VMEM [C, TILE_H, TILE_W] hot-kernel costs (-1 sentinel)
-    e_hbm,  # ANY [K, PH, PW]
-    ref_hbm,  # ANY [PH, PW] f32
-    cost_out_ref,  # VMEM out [C, TILE_H, TILE_W]
-    e_win,  # scratch VMEM [K, 3*TILE_H, 3*TILE_W]
-    ref_tile,  # scratch VMEM [3*TILE_H, 3*TILE_W] f32
-    sems,  # DMA semaphores (2,)
-    *,
-    num_slices: int,
-    num_cands: int,
-    radius: int,
-    increment: int,
-):
-    """Exact recomputation of sentinel-marked costs, skipping clean tiles.
-
-    A separate kernel so the skip branch has nothing live to spill (an
-    inline @pl.when in the hot kernel measured ~25 us/tile even untaken).
-    Flagged tiles recompute every candidate with the adaptive-trip exact
-    loop and keep non-sentinel pixels from the hot kernel's output, so the
-    combined result equals the XLA mirror everywhere.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    # program ids must be read OUTSIDE the pl.when bodies (the interpret
-    # path lowers branch bodies as plain lax.cond, where program_id has no
-    # lowering rule)
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    flag = flags_ref[i, j]
-
-    @pl.when(flag == 0)
-    def _copy_through():
-        for c in range(num_cands):
-            cost_out_ref[c] = cost_in_ref[c]
-
-    @pl.when(flag != 0)
-    def _recompute():
-        fx = consts_ref[0, 0]
-        fy = consts_ref[0, 1]
-        cx = consts_ref[0, 2]
-        cy = consts_ref[0, 3]
-        u_min = consts_ref[0, 4]
-        du = consts_ref[0, 5]
-
-        ref_dma = pltpu.make_async_copy(
-            ref_hbm.at[pl.ds(i * TILE_H, 3 * TILE_H), pl.ds(j * TILE_W, 3 * TILE_W)],
-            ref_tile,
-            sems.at[0],
-        )
-        ref_dma.start()
-        e_dma = pltpu.make_async_copy(
-            e_hbm.at[:, pl.ds(i * TILE_H, 3 * TILE_H), pl.ds(j * TILE_W, 3 * TILE_W)],
-            e_win,
-            sems.at[1],
-        )
-        e_dma.start()
-
-        ys = (
-            jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + i * TILE_H
-        ).astype(jnp.float32)
-        xs = (
-            jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
-        ).astype(jnp.float32)
-        dirx = (xs - cx) / fx
-        diry = (ys - cy) / fy
-
-        offsets = _offsets(radius, increment)
-        S = float(len(offsets))
-        K = num_slices
-        kmaxf = float(K - 1)
-        chunk = min(E_CHUNK, K)
-
-        ref_dma.wait()
-        s_r = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        s_rr = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        ref_vals = []
-        for (dx, dy) in offsets:
-            rv = ref_tile[
-                TILE_H + dy : 2 * TILE_H + dy, TILE_W + dx : 2 * TILE_W + dx
-            ]
-            ref_vals.append(rv)
-            s_r = s_r + rv
-            s_rr = s_rr + rv * rv
-        e_dma.wait()
-
-        def cand_body(c, _):
-            nx = planes_ref[c, 0]
-            ny = planes_ref[c, 1]
-            nz = planes_ref[c, 2]
-            w = planes_ref[c, 3]
-            u_c = -(nx * dirx + ny * diry + nz) / w
-            k_c = (u_c - u_min) / du
-            kx = -nx / (fx * w * du)
-            ky = -ny / (fy * w * du)
-            span = radius * (jnp.abs(kx) + jnp.abs(ky))
-            k_lo = jnp.min(k_c - span)
-            k_hi = jnp.max(k_c + span)
-            k_lo = jnp.clip(jnp.where(jnp.isnan(k_lo), 0.0, k_lo), 0.0, kmaxf)
-            k_hi = jnp.clip(jnp.where(jnp.isnan(k_hi), kmaxf, k_hi), 0.0, kmaxf)
-            c0 = jnp.clip(
-                jnp.floor(k_lo).astype(jnp.int32), 0, max(K - chunk, 0)
-            )
-            c0f = c0.astype(jnp.float32)
-            trips = jnp.clip(
-                jnp.ceil((k_hi + 2.0 - c0f) / chunk).astype(jnp.int32),
-                1,
-                -(-K // chunk),
-            )
-            ks = [
-                jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
-                for (dx, dy) in offsets
-            ]
-            s_s, s_ss, s_rs = _accumulate_ncc(
-                e_win, ks, ref_vals, offsets, c0, c0f, trips, chunk, K
-            )
-            cost = _ncc_epilogue(s_r, s_rr, s_s, s_ss, s_rs, S)
-            oob = _center_oob(consts_ref, 0, dirx, diry, u_c)
-            cost = jnp.where(oob, COST_MAX, cost)
-            prev = cost_in_ref[c]
-            cost_out_ref[c] = jnp.where(prev < 0.0, cost, prev)
-            return 0
-
-        jax.lax.fori_loop(0, num_cands, cand_body, 0)
-
-
-def _fixup_call(flags, consts, planes_cf, cost1, E_pad, ref_pad,
-                num_slices, radius, increment, interpret):
-    """Dispatch the exact-fixup kernel over the hot kernel's outputs."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    C, _, H, W = planes_cf.shape
-    K = E_pad.shape[0]
-    kernel = functools.partial(
-        _fixup_kernel,
-        num_slices=num_slices,
-        num_cands=C,
-        radius=radius,
-        increment=increment,
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.float32),
-        grid=(H // TILE_H, W // TILE_W),
-        in_specs=[
-            pl.BlockSpec(
-                (H // TILE_H, W // TILE_W), lambda i, j: (0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec((1, _NCONST), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (C, 4, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (C, TILE_H, TILE_W), lambda i, j: (0, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (C, TILE_H, TILE_W), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((K, 3 * TILE_H, 3 * TILE_W), E_pad.dtype),
-            pltpu.VMEM((3 * TILE_H, 3 * TILE_W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(flags, consts, planes_cf, cost1, E_pad, ref_pad)
+# ---------------------------------------------------------------------------
+# Public evaluators
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(
@@ -741,7 +759,7 @@ def _fixup_call(flags, consts, planes_cf, cost1, E_pad, ref_pad,
 def ncc_rebased_cost_view(
     R_pad: jax.Array,  # [J2, PH, PW] rebased volume
     bf_pad: jax.Array,  # [PH, PW] f32 clipped base map
-    E_pad: jax.Array,  # [K, PH, PW] full volume (exact fallback)
+    E_pad: jax.Array,  # [K, PH, PW] full volume (L2 fixup source)
     ref_pad: jax.Array,  # [PH, PW] f32
     planes: jax.Array,  # [C, 4, H, W]
     consts: jax.Array,  # [1, NCONST]
@@ -758,6 +776,10 @@ def ncc_rebased_cost_view(
 
     if interpret is None:
         if jax.default_backend() == "cpu":
+            # CPU auto mode: interpret-mode Pallas execution is ~3 orders
+            # slower than the XLA mirror (72 s vs <1 s for one VGA call) —
+            # route through the mirror. interpret=True forces the
+            # interpreter for kernel-equivalence tests.
             return ncc_volume_cost_view_ref(
                 E_pad, ref_pad, planes, consts, num_slices,
                 radius=radius, increment=increment,
@@ -765,9 +787,8 @@ def ncc_rebased_cost_view(
         interpret = False
     C = planes.shape[0]
     H, W = planes.shape[2], planes.shape[3]
-    K = E_pad.shape[0]
     J2 = R_pad.shape[0]
-    assert H % TILE_H == 0 and W % TILE_W == 0
+    assert H % NCC_TILE_H == 0 and W % TILE_W == 0
 
     kernel = functools.partial(
         _kernel_rb,
@@ -777,18 +798,18 @@ def ncc_rebased_cost_view(
         increment=increment,
         j2=J2,
     )
-    grid = (H // TILE_H, W // TILE_W)
+    grid = (H // NCC_TILE_H, W // TILE_W)
     cost1, flags = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((C, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((H // TILE_H, W // TILE_W), jnp.int32),
+            jax.ShapeDtypeStruct(grid, jnp.int32),
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _NCONST), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (C, 4, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                (C, 4, NCC_TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -797,18 +818,15 @@ def ncc_rebased_cost_view(
         ],
         out_specs=(
             pl.BlockSpec(
-                (C, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                (C, NCC_TILE_H, TILE_W), lambda i, j: (0, i, j),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (H // TILE_H, W // TILE_W), lambda i, j: (0, 0),
-                memory_space=pltpu.SMEM,
-            ),
+            pl.BlockSpec(grid, lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((J2, 3 * TILE_H, 3 * TILE_W), R_pad.dtype),
-            pltpu.VMEM((3 * TILE_H, 3 * TILE_W), jnp.float32),
-            pltpu.VMEM((3 * TILE_H, 3 * TILE_W), jnp.float32),
+            pltpu.VMEM((J2, NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), R_pad.dtype),
+            pltpu.VMEM((NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), jnp.float32),
+            pltpu.VMEM((NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
@@ -821,7 +839,7 @@ def ncc_rebased_cost_view(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_slices", "radius", "increment", "interpret", "exact"),
+    static_argnames=("num_slices", "radius", "increment", "interpret"),
 )
 def ncc_volume_cost_view(
     E_pad: jax.Array,  # [K, H+2*PAD_Y, W+2*PAD_X] bf16/f32
@@ -832,24 +850,20 @@ def ncc_volume_cost_view(
     radius: int = 5,
     increment: int = 2,
     interpret: bool | None = None,
-    exact: bool = False,
 ) -> jax.Array:
-    """Fused plain-NCC costs of C candidate plane fields against one source
-    view via its plane-sweep volume. Returns [C, H, W] f32.
+    """Exact fused plain-NCC costs of C candidate plane fields against one
+    source view via its plane-sweep volume. Returns [C, H, W] f32.
 
-    H must be a multiple of 8 and W of 128 (callers pad the pixel grid).
+    H must be a multiple of NCC_TILE_H and W of TILE_W (callers pad the
+    pixel grid).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
         if jax.default_backend() == "cpu":
-            # CPU auto mode: interpret-mode Pallas execution is ~3 orders
-            # slower than the XLA mirror (72 s vs <1 s for one VGA call) —
-            # route through the mirror. Divergence from the TPU kernel is
-            # the sub-band clamp only (extreme-tilt hypotheses; see
-            # tests/test_ncc_volume.py). interpret=True forces the
-            # interpreter for kernel-equivalence tests.
+            # CPU auto mode: route through the XLA mirror (see
+            # ncc_rebased_cost_view).
             return ncc_volume_cost_view_ref(
                 E_pad, ref_pad, planes, consts, num_slices,
                 radius=radius, increment=increment,
@@ -858,7 +872,7 @@ def ncc_volume_cost_view(
     C = planes.shape[0]
     H, W = planes.shape[2], planes.shape[3]
     K = E_pad.shape[0]
-    assert H % TILE_H == 0 and W % TILE_W == 0
+    assert H % NCC_TILE_H == 0 and W % TILE_W == 0
     assert E_pad.shape[1] == H + 2 * PAD_Y and E_pad.shape[2] == W + 2 * PAD_X
 
     kernel = functools.partial(
@@ -867,20 +881,19 @@ def ncc_volume_cost_view(
         num_cands=C,
         radius=radius,
         increment=increment,
-        mark_escapes=exact,
     )
-    grid = (H // TILE_H, W // TILE_W)
+    grid = (H // NCC_TILE_H, W // TILE_W)
     cost1, flags = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((C, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((H // TILE_H, W // TILE_W), jnp.int32),
+            jax.ShapeDtypeStruct(grid, jnp.int32),
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _NCONST), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (C, 4, TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                (C, 4, NCC_TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -888,27 +901,88 @@ def ncc_volume_cost_view(
         ],
         out_specs=(
             pl.BlockSpec(
-                (C, TILE_H, TILE_W), lambda i, j: (0, i, j),
+                (C, NCC_TILE_H, TILE_W), lambda i, j: (0, i, j),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (H // TILE_H, W // TILE_W), lambda i, j: (0, 0),
-                memory_space=pltpu.SMEM,
-            ),
+            pl.BlockSpec(grid, lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((K, 3 * TILE_H, 3 * TILE_W), E_pad.dtype),
-            pltpu.VMEM((3 * TILE_H, 3 * TILE_W), jnp.float32),
+            pltpu.VMEM((K, NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), E_pad.dtype),
+            pltpu.VMEM((NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(consts, planes, E_pad, ref_pad)
-    if not exact:
-        return cost1
     return _fixup_call(
         flags, consts, planes, cost1, E_pad, ref_pad,
         num_slices, radius, increment, interpret,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_slices", "radius", "increment", "interpret"),
+)
+def ncc_volume_cost_view_fullk(
+    E_pad: jax.Array,
+    ref_pad: jax.Array,
+    planes: jax.Array,  # [C, 4, H, W]
+    consts: jax.Array,
+    num_slices: int,
+    radius: int = 5,
+    increment: int = 2,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Exact NCC costs via the full-K select kernel — no L1 band, no
+    flags. For hypotheses whose slice index is structurally unbounded
+    (refinement random-depth combos). ~K/SUB_BAND x the L1 cost."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        if jax.default_backend() == "cpu":
+            return ncc_volume_cost_view_ref(
+                E_pad, ref_pad, planes, consts, num_slices,
+                radius=radius, increment=increment,
+            )
+        interpret = False
+    C = planes.shape[0]
+    H, W = planes.shape[2], planes.shape[3]
+    K = E_pad.shape[0]
+    assert H % NCC_TILE_H == 0 and W % TILE_W == 0
+
+    kernel = functools.partial(
+        _kernel_fullk,
+        num_slices=num_slices,
+        num_cands=C,
+        radius=radius,
+        increment=increment,
+    )
+    grid = (H // NCC_TILE_H, W // TILE_W)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _NCONST), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (C, 4, NCC_TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, NCC_TILE_H, TILE_W), lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), E_pad.dtype),
+            pltpu.VMEM((NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(consts, planes, E_pad, ref_pad)
 
 
 # ---------------------------------------------------------------------------
@@ -950,6 +1024,9 @@ def _geom_kernel(
     num_slices: int,
     num_cands: int,
 ):
+    """Nearest-slice depth lookup + analytic reprojection. The lookup
+    selects over ALL K slices (exact — no band, so no depth-edge clamp
+    divergence; there is no 36-offset loop here, so full-K is cheap)."""
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
@@ -976,26 +1053,27 @@ def _geom_kernel(
     dirx = (xs - cx) / fx
     diry = (ys - cy) / fy
 
+    # per-candidate nearest-slice indices (shared slice loads across
+    # candidates, like the NCC kernels)
+    ri = []
+    us = []
     for c in range(num_cands):
         nx = planes_ref[c, 0]
         ny = planes_ref[c, 1]
         nz = planes_ref[c, 2]
         w = planes_ref[c, 3]
         u = -(nx * dirx + ny * diry + nz) / w
+        us.append(u)
         k = jnp.clip((u - u_min) / du, 0.0, num_slices - 1.0)
-        # nearest-slice depth lookup via per-tile sub-band select
-        c0 = jnp.clip(
-            jnp.floor(jnp.min(k)).astype(jnp.int32),
-            0,
-            max(num_slices - SUB_BAND, 0),
-        )
-        rel = jnp.clip(k - c0.astype(jnp.float32), 0.0, SUB_BAND - 1.0)
-        ri = jnp.round(rel).astype(jnp.int32)
-        sd = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        for bb in range(SUB_BAND):
-            dv = d_ref[c0 + bb].astype(jnp.float32)
-            sd = jnp.where(ri == bb, dv, sd)
+        ri.append(jnp.round(k).astype(jnp.int32))
+    sd = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(num_cands)]
+    for bb in range(num_slices):
+        dv = d_ref[bb].astype(jnp.float32)
+        for c in range(num_cands):
+            sd[c] = jnp.where(ri[c] == bb, dv, sd[c])
 
+    for c in range(num_cands):
+        u = us[c]
         # warped src position (analytic)
         qx = M[0] * dirx + M[1] * diry + M[2] + b0 * u
         qy = M[3] * dirx + M[4] * diry + M[5] + b1 * u
@@ -1008,14 +1086,14 @@ def _geom_kernel(
         rx_ = A[0] * px + A[1] * py + A[2]
         ry_ = A[3] * px + A[4] * py + A[5]
         rz_ = A[6] * px + A[7] * py + A[8]
-        q2x = sd * rx_ + t0
-        q2y = sd * ry_ + t1
-        q2z = sd * rz_ + t2
+        q2x = sd[c] * rx_ + t0
+        q2y = sd[c] * ry_ + t1
+        q2z = sd[c] * rz_ + t2
         bx = q2x / q2z
         by = q2y / q2z
         err = jnp.sqrt((xs - bx) * (xs - bx) + (ys - by) * (ys - by))
         cost = jnp.minimum(err, GEOM_COST_MAX)
-        cost = jnp.where((sd == 0.0) | oob, GEOM_COST_MAX, cost)
+        cost = jnp.where((sd[c] == 0.0) | oob, GEOM_COST_MAX, cost)
         cost_ref[c] = cost
 
 
@@ -1026,8 +1104,7 @@ def geom_volume_cost_view_ref(
     num_slices: int,
 ) -> jax.Array:
     """Pure-XLA mirror of :func:`geom_volume_cost_view` (exact
-    nearest-slice selection; the kernel's per-tile sub-band clamp can
-    diverge on extreme-tilt hypotheses only)."""
+    nearest-slice selection)."""
     C, _, H, W = planes.shape
     fx, fy, cx, cy, u_min, du = (consts[0, m] for m in range(6))
     M = consts[0, 6:15].reshape(3, 3)
@@ -1082,8 +1159,8 @@ def geom_volume_cost_view(
 
     if interpret is None:
         if jax.default_backend() == "cpu":
-            # CPU auto mode: XLA mirror (exact nearest-slice, no sub-band
-            # clamp); interpret=True forces the Pallas interpreter.
+            # CPU auto mode: XLA mirror (exact nearest-slice);
+            # interpret=True forces the Pallas interpreter.
             return geom_volume_cost_view_ref(D, planes, consts, num_slices)
         interpret = False
     C = planes.shape[0]
@@ -1115,7 +1192,7 @@ def geom_volume_cost_view(
 
 
 # ---------------------------------------------------------------------------
-# XLA reference implementation (same volume semantics, for tests)
+# XLA reference implementation (same volume semantics, for tests + CPU)
 # ---------------------------------------------------------------------------
 
 
@@ -1128,13 +1205,12 @@ def ncc_volume_cost_view_ref(
     radius: int = 5,
     increment: int = 2,
 ) -> jax.Array:
-    """Pure-XLA mirror of the kernel (full-range interpolation, no
-    sub-band clamping).
+    """Pure-XLA mirror of the kernels (full-range interpolation).
 
     Structured compile-friendly: a ``lax.scan`` over the window offsets
     with candidates vectorized, so the jaxpr stays small — this is also
-    the production CPU path (auto-redirect in ncc_volume_cost_view), not
-    just a test oracle."""
+    the production CPU path (auto-redirect in the evaluators), not just a
+    test oracle."""
     C, _, H, W = planes.shape
     K = E_pad.shape[0]
     fx, fy, cx, cy, u_min, du = (consts[0, m] for m in range(6))

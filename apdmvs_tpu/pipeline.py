@@ -116,16 +116,14 @@ def patchmatch_pass_impl(
 
     def rebased(ctx_, planes_):
         """Context with volumes rebased on planes_' depth (ops/ncc_volume.py
-        "Rebased volumes"). Opt-in via APDMVS_REBASE=1: the direct kernel's
-        band-clamped hot path measured the same speed as the rebased hot
-        kernel (~25 ms at C=9) without the per-iteration rebuild
-        (~105 ms x V) or the exact-fixup dispatch the rebased path requires
-        (PERF_NOTES round-3 ledger), so direct is the default. Rebasing
-        remains available for extreme-tilt scenes where the SUB_BAND clamp
-        would bite (>60-deg tilts at VGA)."""
+        "Rebased volumes"): the base map absorbs the scene's slopes AND
+        depth edges, so the propagation sweeps' NCC fetches run over the
+        static RB_BAND deviation band (exact — escapes take the cond-gated
+        L2 fixup). Default on; APDMVS_REBASE=0 forces the direct kernel
+        (same results, slower at depth edges)."""
         import os
 
-        if volumes is None or os.environ.get("APDMVS_REBASE", "0") != "1":
+        if volumes is None or os.environ.get("APDMVS_REBASE", "1") != "1":
             return ctx_
         d = geometry.depth_from_plane(cams.K[0], planes_, ctx_.x, ctx_.y)
         return ctx_._replace(volumes=ncc.rebase_volume_set(volumes, cams, d))
@@ -135,8 +133,11 @@ def patchmatch_pass_impl(
         planes = hypotheses.random_plane(
             k_init, cams.K[0], ctx.x, ctx.y, ctx.dirs, depth_min, depth_max
         )
+        # no rebase for the random seed: its depth field is per-pixel
+        # random, so a base map built from it is uncorrelated with the
+        # window samples — the direct kernel's L2 handles it exactly
         costs, selected = ncc.initial_cost_and_views(
-            rebased(ctx, planes), planes,
+            ctx, planes,
             cfg.strong_radius, cfg.strong_increment, cfg.top_k,
         )
     else:

@@ -96,20 +96,51 @@ def test_pallas_matches_xla_mirror(setup):
     assert np.median(diff) < 1e-3
 
 def test_pallas_now_exact(setup):
-    """exact=True dispatches the per-tile fixup kernel: the result must
-    match the mirror to fp tolerance everywhere (any-hypothesis
-    exactness). The default (exact=False) keeps v1's band-clamp semantics
-    — same speed, no fixup dispatch (PERF_NOTES round-3)."""
+    """The direct kernel is exact by construction: escaped (tile,
+    candidate)s are sentinel-marked by L1 and recomputed by the cond-gated
+    full-K L2 fixup, so the result matches the mirror to fp tolerance
+    everywhere (any-hypothesis exactness)."""
     gc, images, depths, E, ref_pad, consts, planes_b, planes_cf, K_slices, v = setup
     got = np.asarray(
         ncc_volume.ncc_volume_cost_view(
-            E, ref_pad, planes_cf, consts, K_slices, interpret=True, exact=True
+            E, ref_pad, planes_cf, consts, K_slices, interpret=True
         )
     )
     want = np.asarray(
         ncc_volume.ncc_volume_cost_view_ref(E, ref_pad, planes_cf, consts, K_slices)
     )
     assert np.max(np.abs(got - want)) < 1e-4, np.max(np.abs(got - want))
+
+
+def test_fullk_and_l2_exact_on_random_depths(setup):
+    """Random-depth hypotheses (the refinement combos 0/2) have per-pixel
+    uniform slice indices — the worst case for any fetch band. Both the
+    standalone full-K kernel and the direct kernel's L1+L2 scheme must
+    match the mirror on them."""
+    gc, images, depths, E, ref_pad, consts, planes_b, planes_cf, K_slices, v = setup
+    H, W = planes_cf.shape[2], planes_cf.shape[3]
+    rng = np.random.default_rng(7)
+    x, y = geometry.pixel_grid(H, W)
+    n_cam = planes_b[0, ..., :3]
+    d_rand = jnp.asarray(rng.uniform(1.3, 9.5, (H, W)).astype(np.float32))
+    w_r = geometry.dist_to_origin(gc.K[0], x, y, d_rand, n_cam)
+    p_r = jnp.concatenate([n_cam, w_r[..., None]], -1)
+    pcf = jnp.moveaxis(jnp.stack([p_r, planes_b[0]]), -1, 1)  # [2, 4, H, W]
+    want = np.asarray(
+        ncc_volume.ncc_volume_cost_view_ref(E, ref_pad, pcf, consts, K_slices)
+    )
+    got_fullk = np.asarray(
+        ncc_volume.ncc_volume_cost_view_fullk(
+            E, ref_pad, pcf, consts, K_slices, interpret=True
+        )
+    )
+    assert np.max(np.abs(got_fullk - want)) < 1e-4, np.max(np.abs(got_fullk - want))
+    got_l12 = np.asarray(
+        ncc_volume.ncc_volume_cost_view(
+            E, ref_pad, pcf, consts, K_slices, interpret=True
+        )
+    )
+    assert np.max(np.abs(got_l12 - want)) < 1e-4, np.max(np.abs(got_l12 - want))
 
 
 def test_rebased_builder_matches_formula(setup):
