@@ -285,23 +285,34 @@ def probe_strong_points(
     first hit inside the angular cone (masked fixed-trip scan replacing
     the reference's break-on-accept).
 
+    Grid formulation (round-4 redesign): the jitter of a probe step is
+    drawn once per (direction, step) and SHARED across pixels, so every
+    landing is a uniform offset of the pixel grid — the per-(pixel, probe)
+    snapped-strong lookup becomes a static shift (dynamic_slice) of the
+    packed nearest-strong grid instead of an XLA gather. The worklist
+    formulation gathered 131k x D indices per step (~35 ms/step, 918 ms
+    per pass at VGA — round-4 profile); the grid scan runs the same probe
+    schedule in ~1 ms/step. Per-pixel acceptance statistics are unchanged
+    (each pixel still sees an independent-per-step jittered ray drawn from
+    the reference's distribution, APD.cu:1812-1828); only the cross-pixel
+    jitter correlation differs, which the anchor-oracle parity test bounds.
+
     Returns (found [N, D] bool, spx [N, D], spy [N, D]) with
     D = 8 * rotate_time. Compared against a NumPy replica of the
     reference's full march in tests/test_anchor_oracle.py.
     """
     H, W = pixel_state.shape
-    N = weak_xy.shape[0]
-    wx = weak_xy[..., 0].astype(jnp.float32)
-    wy = weak_xy[..., 1].astype(jnp.float32)
-
     nearest = nearest_strong_map(pixel_state)  # [H, W, 2]
     # one packed int32 per pixel: the flat index of the snapped strong
     # point (strong pixels snap to themselves — their nearest is their own
-    # coordinate), -1 if none in the box. One gather per probe instead of
-    # three (TPU gather cost is per element, PERF_NOTES.md).
+    # coordinate), -1 if none in the box
     snap_flat = jnp.where(
         nearest[..., 0] >= 0, nearest[..., 1] * W + nearest[..., 0], -1
     ).astype(jnp.int32)
+    # landings with |offset| >= image extent are always outside the margin,
+    # so (H, W) padding suffices for every schedule radius; clamped slices
+    # read -1 padding, masked by in_margin anyway
+    snap_pad = jnp.pad(snap_flat, ((H, H), (W, W)), constant_values=-1)
 
     dirs_np = _base_directions(rotate_time)  # [D, 2]
     D = dirs_np.shape[0]
@@ -314,58 +325,54 @@ def probe_strong_points(
     P = len(schedule) * _JITTERS_PER_RADIUS
     radii = np.repeat(np.asarray(schedule, np.float32), _JITTERS_PER_RADIUS)
 
-    # All D directions are probed inside each scan step (body shape
-    # [N, D]); the original map-over-directions x scan-over-probes form
-    # ran D*P (~800) sequential device-loop iterations of tiny bodies and
-    # was loop-overhead bound (~4 ms/step at VGA — round-3 profile).
-    # First-accept order per (pixel, direction) is unchanged: radii
-    # ascend along the scan, jitters within a radius are consecutive
-    # steps.
     base_all = jnp.asarray(dirs_np)  # [D, 2]
+    x_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    y_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xf = x_i.astype(jnp.float32)
+    yf = y_i.astype(jnp.float32)
 
+    # First-accept order per (pixel, direction) is preserved: radii ascend
+    # along the scan, jitters within a radius are consecutive steps.
     def probe_step(carry, inputs):
-        found, pt_x, pt_y = carry  # [N, D]
+        found_flat = carry  # [D, H, W] int32 snapped flat index, -1 = none
         radius, k_step = inputs
-        shifts = jax.random.randint(
-            k_step, (N, D, 2), -shift_range + 1, shift_range
-        )
-        d = base_all[None] * 20.0 + shifts.astype(jnp.float32)  # [N, D, 2]
+        shifts = jax.random.randint(k_step, (D, 2), -shift_range + 1, shift_range)
+        d = base_all * 20.0 + shifts.astype(jnp.float32)  # [D, 2]
         d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-        px = (wx[:, None] + d[..., 0] * radius).astype(jnp.int32)
-        py = (wy[:, None] + d[..., 1] * radius).astype(jnp.int32)
-        in_margin = (
-            (px >= _MIN_MARGIN)
-            & (py >= _MIN_MARGIN)
-            & (px < W - _MIN_MARGIN)
-            & (py < H - _MIN_MARGIN)
-        )
-        # snap the landing to its nearest strong pixel (strong pixels
-        # snap to themselves): one packed gather per probe
-        s = sampling.gather_grid(snap_flat, px, py)  # [N, D]
-        sx = s % W
-        sy = s // W
-        has_pt = in_margin & (s >= 0)
-        # angular-cone acceptance (APD.cu:1829-1832)
-        tdx = sx.astype(jnp.float32) - wx[:, None]
-        tdy = sy.astype(jnp.float32) - wy[:, None]
-        tn = jnp.maximum(jnp.sqrt(tdx * tdx + tdy * tdy), 1e-12)
-        cos_a = (tdx * base_all[None, :, 0] + tdy * base_all[None, :, 1]) / tn
-        accept = has_pt & (cos_a > cos_threshold) & ~found
-        return (
-            found | accept,
-            jnp.where(accept, sx, pt_x),
-            jnp.where(accept, sy, pt_y),
-        ), None
+        off = jnp.floor(d * radius).astype(jnp.int32)  # [D, 2]
+        new_ff = []
+        for di in range(D):
+            ox, oy = off[di, 0], off[di, 1]
+            s = jax.lax.dynamic_slice(snap_pad, (H + oy, W + ox), (H, W))
+            lx = x_i + ox
+            ly = y_i + oy
+            in_margin = (
+                (lx >= _MIN_MARGIN)
+                & (ly >= _MIN_MARGIN)
+                & (lx < W - _MIN_MARGIN)
+                & (ly < H - _MIN_MARGIN)
+            )
+            has_pt = in_margin & (s >= 0)
+            # angular-cone acceptance (APD.cu:1829-1832)
+            tdx = (s % W).astype(jnp.float32) - xf
+            tdy = (s // W).astype(jnp.float32) - yf
+            tn = jnp.maximum(jnp.sqrt(tdx * tdx + tdy * tdy), 1e-12)
+            cos_a = (tdx * base_all[di, 0] + tdy * base_all[di, 1]) / tn
+            accept = has_pt & (cos_a > cos_threshold) & (found_flat[di] < 0)
+            new_ff.append(jnp.where(accept, s, found_flat[di]))
+        return jnp.stack(new_ff), None
 
     keys = jax.random.split(key, P)
-    init = (
-        jnp.zeros((N, D), bool),
-        jnp.full((N, D), -1, jnp.int32),
-        jnp.full((N, D), -1, jnp.int32),
-    )
-    (found, spx, spy), _ = jax.lax.scan(
-        probe_step, init, (jnp.asarray(radii), keys)
-    )
+    init = jnp.full((D, H, W), -1, jnp.int32)
+    found_flat, _ = jax.lax.scan(probe_step, init, (jnp.asarray(radii), keys))
+
+    # one worklist gather at the end (vs one per probe step)
+    s_at = sampling.gather_grid(
+        jnp.moveaxis(found_flat, 0, -1), weak_xy[..., 0], weak_xy[..., 1]
+    )  # [N, D]
+    found = s_at >= 0
+    spx = jnp.where(found, s_at % W, -1)
+    spy = jnp.where(found, s_at // W, -1)
     return found, spx, spy
 
 

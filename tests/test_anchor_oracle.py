@@ -135,40 +135,40 @@ def band_scene():
     return pixel_state, nearest, weak_pts
 
 
-def test_probe_budget_matches_reference_march(band_scene):
-    pixel_state, nearest, weak_pts = band_scene
-    oracle_found, oracle_dist = reference_probe_oracle(
-        pixel_state, nearest, weak_pts, ROTATE_TIME, seed=0
-    )
-
+def _run_probe(pixel_state, weak_pts, rotate_time, seed=0):
     import jax.numpy as jnp
 
     found, spx, spy = jax.jit(
         weak.probe_strong_points, static_argnames=("rotate_time",)
-    )(jnp.asarray(pixel_state), jnp.asarray(weak_pts), jax.random.PRNGKey(0),
-      ROTATE_TIME)
-    found = np.asarray(found)
-    spx = np.asarray(spx)
-    spy = np.asarray(spy)
+    )(jnp.asarray(pixel_state), jnp.asarray(weak_pts),
+      jax.random.PRNGKey(seed), rotate_time)
+    return np.asarray(found), np.asarray(spx), np.asarray(spy)
+
+
+def _assert_probe_parity(pixel_state, nearest, weak_pts, rotate_time,
+                         center_mask=None):
+    """Shared parity assertions: found-count mean, pre-RANSAC reliability,
+    far coverage, and found-distance regime vs the reference-march replica."""
+    oracle_found, oracle_dist = reference_probe_oracle(
+        pixel_state, nearest, weak_pts, rotate_time, seed=0
+    )
+    found, spx, spy = _run_probe(pixel_state, weak_pts, rotate_time)
 
     # per-pixel found-direction counts must match the full reference march
     o_counts = oracle_found.sum(1)
     r_counts = found.sum(1)
-    assert abs(r_counts.mean() - o_counts.mean()) / o_counts.mean() < 0.15, (
-        r_counts.mean(), o_counts.mean())
+    assert abs(r_counts.mean() - o_counts.mean()) / max(o_counts.mean(), 1e-9) \
+        < 0.15, (r_counts.mean(), o_counts.mean())
     # pre-RANSAC reliability (needs > 3 found dirs, APD.cu:1858)
     o_rel = (o_counts > 3).mean()
     r_rel = (r_counts > 3).mean()
     assert abs(r_rel - o_rel) <= 0.1, (r_rel, o_rel)
 
-    # far coverage: center-band pixels (>= 450 px from any strong region)
-    # that the reference march reaches must also be reached here — this is
-    # the gap the round-1 geometric schedule missed
-    center = np.abs(weak_pts[:, 0].astype(np.int64) - 640) < 150
-    assert center.sum() > 10
-    o_center = (o_counts[center] > 0).mean()
-    r_center = (r_counts[center] > 0).mean()
-    assert r_center >= o_center - 0.1, (r_center, o_center)
+    if center_mask is not None:
+        assert center_mask.sum() > 10
+        o_center = (o_counts[center_mask] > 0).mean()
+        r_center = (r_counts[center_mask] > 0).mean()
+        assert r_center >= o_center - 0.1, (r_center, o_center)
 
     # found anchor distances live in the same regime (far anchors found)
     r_dist = np.hypot(
@@ -177,5 +177,59 @@ def test_probe_budget_matches_reference_march(band_scene):
     )
     r_far = r_dist[found & (r_dist > 0)]
     o_far = oracle_dist[oracle_found]
-    assert abs(np.median(r_far) - np.median(o_far)) < 120, (
-        np.median(r_far), np.median(o_far))
+    if o_far.size:
+        assert abs(np.median(r_far) - np.median(o_far)) < 120, (
+            np.median(r_far), np.median(o_far))
+
+
+@pytest.mark.parametrize("rotate_time", [1, 2, 4])
+def test_probe_budget_matches_reference_march(band_scene, rotate_time):
+    """Parity at every schedule rotate_time — rounds 1-2 of a real pyramid
+    run rotate_time 1 and 2 (main.cpp:183), where each direction has no
+    rotation redundancy to mask coverage misses (round-3 VERDICT weak #4)."""
+    pixel_state, nearest, weak_pts = band_scene
+    # far coverage: center-band pixels (>= 450 px from any strong region)
+    # that the reference march reaches must also be reached here
+    center = np.abs(weak_pts[:, 0].astype(np.int64) - 640) < 150
+    _assert_probe_parity(pixel_state, nearest, weak_pts, rotate_time, center)
+
+
+def _exact_nearest_np(pixel_state, box=100):
+    """Exact euclidean nearest-STRONG map via scipy's EDT, with the
+    reference's |dx|,|dy| <= box acceptance (APD.cu:2250)."""
+    from scipy import ndimage
+
+    strong = pixel_state == PixelState.STRONG
+    _, (iy, ix) = ndimage.distance_transform_edt(
+        ~strong, return_indices=True, return_distances=True
+    )
+    Hh, Ww = pixel_state.shape
+    ys, xs = np.mgrid[0:Hh, 0:Ww]
+    ok = strong[iy, ix] & (np.abs(ix - xs) <= box) & (np.abs(iy - ys) <= box)
+    out = np.full((Hh, Ww, 2), -1, np.int32)
+    out[..., 0] = np.where(ok, ix, -1)
+    out[..., 1] = np.where(ok, iy, -1)
+    return out
+
+
+@pytest.mark.parametrize("rotate_time", [1, 2])
+def test_probe_sparse_islands(rotate_time):
+    """Sparse-strong scene: isolated strong islands instead of a solid
+    band — each direction's cone contains at most a few islands, so any
+    coverage gap in the thinned schedule shows up directly in the found
+    counts (round-3 VERDICT weak #4 / next-round item 6)."""
+    rng = np.random.RandomState(3)
+    Hh, Ww = 480, 640
+    pixel_state = np.full((Hh, Ww), PixelState.WEAK, np.uint8)
+    for _ in range(14):  # 14 islands of 24x24
+        cy = rng.randint(20, Hh - 44)
+        cx = rng.randint(20, Ww - 44)
+        pixel_state[cy : cy + 24, cx : cx + 24] = PixelState.STRONG
+    nearest = _exact_nearest_np(pixel_state)
+    wx = rng.randint(30, Ww - 30, 256)
+    wy = rng.randint(30, Hh - 30, 256)
+    weak_pts = np.stack([wx, wy], -1).astype(np.int32)
+    # drop points that landed inside an island
+    keep = pixel_state[weak_pts[:, 1], weak_pts[:, 0]] == PixelState.WEAK
+    weak_pts = weak_pts[keep]
+    _assert_probe_parity(pixel_state, nearest, weak_pts, rotate_time)
