@@ -95,12 +95,17 @@ def check_images(dense_folder: str | os.PathLike, problems: Sequence[Problem]) -
 
 
 def _bucket_capacity(count: int, total: int) -> int:
-    """Round the weak-pixel worklist capacity up to a power-of-two bucket to
-    bound jit recompiles across (image, pass) combinations."""
+    """Round the weak-pixel worklist capacity up to a {1, 1.5} x power-of-two
+    bucket: bounds jit recompiles across (image, pass) combinations at <= 2
+    buckets per octave while capping padding waste at 33% (every [N]-shaped
+    weak stage scales with the capacity; pure power-of-two buckets wasted up
+    to 2x — e.g. 76.8k weak pixels ran at N=131072, round-4 profile)."""
     if count <= 0:
         return 0
     cap = 1024
     while cap < count:
+        if count <= cap + cap // 2:
+            return min(cap + cap // 2, total)
         cap *= 2
     return min(cap, total)
 

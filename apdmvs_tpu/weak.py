@@ -191,11 +191,13 @@ class WeakCols(NamedTuple):
     whole pass, so the scattered gathers are hoisted out of the iteration
     loop and every lookup becomes a dense contraction).
 
-    c36: [Vs, N, K] f32 — C36 columns at the weak pixels (Vs = V - 1
-      source views; view v corresponds to slot v-1).
-    c9: [Vs, N, 8, K] f32 — C9 columns at the anchors.
+    c36: [Vs, N, K] bf16 — C36 columns at the weak pixels (Vs = V - 1
+      source views; view v corresponds to slot v-1). Kept in the table's
+      bf16: the per-sweep tent contractions are HBM-traffic bound and the
+      values are bf16-quantized at the source anyway.
+    c9: [Vs, N, 8, K] bf16 — C9 columns at the anchors.
     d: [Vs, N, K] f32 or None — depth-volume columns at the weak pixels
-      (geometric-consistency passes).
+      (geometric-consistency passes; f32 — depths feed reprojection math).
     """
 
     c36: jax.Array
@@ -219,18 +221,22 @@ def build_weak_cols(
     # applies, but on-chip it LOSES to the plain per-row kernel (v5e:
     # 35 vs 30 ms at 131k x 640 — the dedup's VMEM slot copy costs more
     # than the grouped DMA it saves; scripts/bench_gather.py)
+    # cols stay bf16 (the table dtype): the volume values are already
+    # bf16-quantized, so widening stores nothing — and the per-sweep tent
+    # contractions re-read the c9 table once per candidate, making the
+    # sweep HBM-traffic bound (round-4 profile); bf16 halves that traffic
     idx_c = colsmod.flat_index(
         weak_xy[..., 0], weak_xy[..., 1], ncc_volume.PAD_Y, ncc_volume.PAD_X, PH, PW
     )
     c36 = colsmod.gather_rows(colsmod.pack_volume_rows(vs.C36), idx_c)
-    c36 = jnp.moveaxis(c36.reshape(N, Vs, K), 1, 0).astype(jnp.float32)
+    c36 = jnp.moveaxis(c36.reshape(N, Vs, K), 1, 0)
 
     a = anchors.coords[:, 1:]  # [N, 8, 2]
     idx_a = colsmod.flat_index(
         a[..., 0], a[..., 1], ncc_volume.PAD_Y, ncc_volume.PAD_X, PH, PW
     ).reshape(-1)
     c9 = colsmod.gather_rows(colsmod.pack_volume_rows(vs.C9), idx_a)
-    c9 = jnp.moveaxis(c9.reshape(N, _NUM_ANCHORS, Vs, K), 2, 0).astype(jnp.float32)
+    c9 = jnp.moveaxis(c9.reshape(N, _NUM_ANCHORS, Vs, K), 2, 0)
 
     d = None
     if vs.D is not None:
@@ -955,9 +961,19 @@ def propagate_weak(
             return _geom_cost_vector_cols(ctx, weak_xy, plane, wcols)
         return ncc.geom_cost_vector(ctx, plane, xs=wx, ys=wy)
 
-    # all 8 candidates in one fused batch: [8, N, 4] -> [V, 8, N] -> [8, V, N]
-    cand_planes_b = jnp.moveaxis(cand_planes, 1, 0)
-    cost_array = jnp.moveaxis(deformed(cand_planes_b), 0, 1)  # [8, V, N]
+    # all 8 anchor candidates + the current plane + the RANSAC fit plane in
+    # ONE fused batch: the tent contractions over the resident cols are
+    # HBM-traffic bound (round-4 profile), so fewer larger batches let XLA
+    # share reads and scheduling across them
+    cur_plane = sampling.gather_grid(planes_grid, weak_xy[..., 0], weak_xy[..., 1])
+    cand_planes_b = jnp.moveaxis(cand_planes, 1, 0)  # [8, N, 4]
+    planes10 = jnp.concatenate(
+        [cand_planes_b, cur_plane[None], fit_planes[None]], axis=0
+    )  # [10, N, 4]
+    d10 = deformed(planes10)  # [V, 10, N]
+    g10 = geom(planes10) if cfg.geom_consistency else None
+
+    cost_array = jnp.moveaxis(d10[:, :8], 0, 1)  # [8, V, N]
     # aggregate-init quirk: invalid candidates contribute 0 (see propagation)
     cost_array = jnp.where(flag.T[:, None, :], cost_array, 0.0)
 
@@ -974,7 +990,7 @@ def propagate_weak(
 
     # --- geometric consistency terms (APD.cu:1441-1447) ---
     if cfg.geom_consistency:
-        geom_arr = jnp.moveaxis(geom(cand_planes_b), 0, 1)  # [8, V, N]
+        geom_arr = jnp.moveaxis(g10[:, :8], 0, 1)  # [8, V, N]
         geom_arr = jnp.where(
             flag.T[:, None, :], geom_arr, GEOM_COST_MAX
         )  # missing candidate -> penalty 3.0
@@ -988,10 +1004,9 @@ def propagate_weak(
     min_idx = jnp.argmin(final_costs, axis=0)  # [N]
 
     # --- current-plane cost under the new weights ---
-    cur_plane = sampling.gather_grid(planes_grid, weak_xy[..., 0], weak_xy[..., 1])
-    cv_now = deformed(cur_plane)
+    cv_now = d10[:, 8]
     if cfg.geom_consistency:
-        cv_now = cv_now + cfg.geom_factor * geom(cur_plane)
+        cv_now = cv_now + cfg.geom_factor * g10[:, 8]
     cost_now = jnp.sum(weights * cv_now, axis=0) / jnp.maximum(weight_norm, 1e-30)
     cost_pre = cost_now
 
@@ -1023,7 +1038,10 @@ def propagate_weak(
     # the fit plane is tested first; if it is the zero plane, the reference
     # returns before the random refinement (APD.cu:910-914)
     fit_zero = jnp.all(fit_planes[:, :3] == 0.0, axis=-1)
-    fit_cost = eval_plane(fit_planes)
+    fit_cv = d10[:, 9]
+    if cfg.geom_consistency:
+        fit_cv = fit_cv + cfg.geom_factor * g10[:, 9]
+    fit_cost = jnp.sum(weights * fit_cv, axis=0) / jnp.maximum(weight_norm, 1e-30)
     fit_depth = geometry.depth_from_plane(ctx.cams.K[0], fit_planes, wx, wy)
     fit_ok = (
         ~fit_zero
