@@ -10,6 +10,7 @@ exchange rides XLA collectives over ICI instead of disk round-trips.
 
 from apdmvs_tpu.parallel import multihost  # noqa: F401
 from apdmvs_tpu.parallel.sharded import (  # noqa: F401
+    build_batch_image_volumes,
     make_mesh,
     shard_problems,
     sharded_batch_pass,

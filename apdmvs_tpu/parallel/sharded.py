@@ -44,6 +44,22 @@ def make_mesh(
     return Mesh(devs, ("view", "space"))
 
 
+def put_sharded(mesh: Mesh, x, spec):
+    """Host array -> global sharded device array under ``spec``.
+
+    Multi-host: host inputs (and process-local arrays, e.g. eagerly
+    computed keys) are identical on every process — a shared-FS scene —
+    so upload only this host's shards; arrays already global (the
+    device-resident prior/depths/volume cache) pass through."""
+    if jax.process_count() > 1:
+        if not isinstance(x, jax.Array) or x.is_fully_addressable:
+            from apdmvs_tpu.parallel import multihost
+
+            return multihost.global_batch(mesh, spec, np.asarray(x))
+        return x
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def shard_problems(num_problems: int, n_shards: int) -> Tuple[int, np.ndarray]:
     """Pad the problem count to a multiple of the view-shard count and
     return (padded_n, owner shard per problem)."""
@@ -114,6 +130,56 @@ def gather_depth_maps(outputs: pipeline.PassOutputs) -> jax.Array:
 
 @functools.partial(
     jax.jit,
+    static_argnames=("num_slices", "weak_cost_volumes", "mesh"),
+)
+def build_batch_image_volumes(
+    images: jax.Array,  # [N, V, H, W] view-sharded
+    cams: Cameras,  # fields [N, V, ...]
+    num_slices: int,
+    mesh: Mesh,
+    weak_cost_volumes: bool = True,
+):
+    """Stacked per-problem image-volume sets [N, ...], view-sharded.
+
+    The image volumes depend only on (problem, scale) — not on pass or
+    hypotheses — so the batched runner builds them ONCE per scale and
+    reuses them across every pass of every round at that scale, matching
+    the sequential runner's SceneCache amortization (scene.py). Built by
+    a shard_map'd scan so each device only ever materializes its own
+    problems' sets; the caller gates on HBM budget (a VGA 5-view set is
+    ~2.1 GB/problem) and falls back to in-scan building when too large.
+    """
+    from apdmvs_tpu import ncc
+
+    P_view = P("view")
+
+    def shard_body(images_l, cams_l):
+        def body(carry, xs):
+            images_i, cams_i = xs
+            vs = ncc.build_image_volume_set(
+                images_i, cams_i, cams_i.depth_min[0], cams_i.depth_max[0],
+                num_slices=num_slices, weak_cost_volumes=weak_cost_volumes,
+            )
+            return carry, vs
+
+        _, sets = jax.lax.scan(body, 0, (images_l, cams_l))
+        return sets
+
+    probe = jax.eval_shape(
+        lambda il, cl: shard_body(il, cl), images, cams
+    )
+    out_specs = jax.tree.map(lambda _: P_view, probe)
+    return jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P_view, jax.tree.map(lambda _: P_view, cams)),
+        out_specs=out_specs,
+        check_vma=False,
+    )(images, cams)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "weak_capacity", "use_geom", "num_slices", "mesh"),
 )
 def _volume_batched_pass(
@@ -130,18 +196,22 @@ def _volume_batched_pass(
     use_geom: bool,
     num_slices: int,
     mesh: Mesh,
+    prebuilt=None,  # stacked image VolumeSet [N, ...] or None
 ) -> pipeline.PassOutputs:
     """View-sharded batched pass on the Pallas volume fast path.
 
     Unlike :func:`_batched_pass` (vmap over problems), each view shard
     runs a ``lax.scan`` over its local problems: the per-problem volume
-    set ([V, K, PH, PW] image + cost volumes) is built *inside* the scan
-    body, so only ONE problem's volumes are live per device at a time —
-    the memory-bounded per-problem staging of SURVEY.md §7 step 7 — and
-    every Pallas kernel runs unbatched, exactly as in the sequential
-    runner. The cross-shard depth exchange is an explicit
-    ``all_gather`` over the view axis (the reference's filesystem
-    round-trip, APD.cpp:492-510, as one ICI collective).
+    set ([V, K, PH, PW] image + cost volumes) comes from ``prebuilt``
+    (the once-per-scale stacked cache, build_batch_image_volumes) or is
+    built *inside* the scan body, so at most ONE problem's transient
+    volumes are live per device at a time — the memory-bounded
+    per-problem staging of SURVEY.md §7 step 7 — and every Pallas kernel
+    runs unbatched, exactly as in the sequential runner. The cross-shard
+    depth exchange is an explicit ``all_gather`` over the view axis (the
+    reference's filesystem round-trip, APD.cpp:492-510, as one ICI
+    collective). Depth volumes (geometric consistency) always build
+    in-scan — they depend on the pass's current depth estimates.
     """
     from apdmvs_tpu import ncc
 
@@ -150,7 +220,8 @@ def _volume_batched_pass(
     out_specs = jax.tree.map(lambda _: P_view, pipeline.PassOutputs(0, 0, 0, 0, 0))
 
     def shard_body(
-        images_l, cams_l, valid_l, prior_l, keys_l, rth_l, depths_l, srcidx_l
+        images_l, cams_l, valid_l, prior_l, keys_l, rth_l, depths_l, srcidx_l,
+        prebuilt_l,
     ):
         depth_full = (
             jax.lax.all_gather(depths_l, "view", axis=0, tiled=True)
@@ -159,16 +230,21 @@ def _volume_batched_pass(
         )
 
         def body(carry, xs):
-            images_i, cams_i, valid_i, prior_i, key_i, rth_i, srcidx_i = xs
+            images_i, cams_i, valid_i, prior_i, key_i, rth_i, srcidx_i, pb_i = xs
             dmin = cams_i.depth_min[0]
             dmax = cams_i.depth_max[0]
             dm_i = (
                 jnp.take(depth_full, srcidx_i, axis=0) if use_geom else None
             )  # [V, H, W]
-            vols = ncc.build_volume_set(
-                images_i, cams_i, dmin, dmax, num_slices=num_slices,
-                depth_maps=dm_i, weak_cost_volumes=cfg.use_APD,
-            )
+            if pb_i is None:
+                vols = ncc.build_volume_set(
+                    images_i, cams_i, dmin, dmax, num_slices=num_slices,
+                    depth_maps=dm_i, weak_cost_volumes=cfg.use_APD,
+                )
+            else:
+                vols = pb_i
+                if use_geom:
+                    vols = ncc.add_depth_volumes(vols, dm_i, cams_i, dmin, dmax)
             out = pipeline.patchmatch_pass_impl(
                 images_i, cams_i, valid_i, prior_i, key_i, cfg, rth_i,
                 depth_maps=dm_i, weak_capacity=weak_capacity, volumes=vols,
@@ -176,7 +252,9 @@ def _volume_batched_pass(
             return carry, out
 
         _, outs = jax.lax.scan(
-            body, 0, (images_l, cams_l, valid_l, prior_l, keys_l, rth_l, srcidx_l)
+            body, 0,
+            (images_l, cams_l, valid_l, prior_l, keys_l, rth_l, srcidx_l,
+             prebuilt_l),
         )
         return outs
 
@@ -184,11 +262,12 @@ def _volume_batched_pass(
         shard_body,
         mesh=mesh,
         in_specs=(P_view, jax.tree.map(lambda _: P_view, cams), P_view,
-                  n_prob, P_view, P_view, P_view, P_view),
+                  n_prob, P_view, P_view, P_view, P_view,
+                  jax.tree.map(lambda _: P_view, prebuilt)),
         out_specs=out_specs,
         check_vma=False,
     )(images, cams, src_valid, prior, keys, ransac_threshold,
-      all_depths, src_index)
+      all_depths, src_index, prebuilt)
 
 
 def sharded_batch_pass(
@@ -205,6 +284,7 @@ def sharded_batch_pass(
     src_index: Optional[jax.Array] = None,
     use_volumes: bool = False,
     num_slices: int = 160,
+    prebuilt=None,
 ) -> pipeline.PassOutputs:
     """Run one pass for a batch of N reference views, view+space sharded.
 
@@ -218,7 +298,9 @@ def sharded_batch_pass(
     ``use_volumes`` routes through :func:`_volume_batched_pass` (the Pallas
     fast path, one problem's volumes resident per device at a time); it
     requires a view-only mesh (space axis size 1) since volumes cover the
-    full image.
+    full image. ``prebuilt`` (from :func:`build_batch_image_volumes`)
+    supplies the stacked once-per-scale image-volume cache; without it the
+    scan rebuilds each problem's volumes every pass.
     """
     img_s, cams_s, prior_s, out_s = _batch_specs(mesh)
     use_geom = all_depths is not None
@@ -230,17 +312,7 @@ def sharded_batch_pass(
         )
 
     def put(x, spec):
-        if jax.process_count() > 1:
-            # multi-host: host inputs (and process-local arrays, e.g. the
-            # eagerly computed keys) are identical on every process — a
-            # shared-FS scene — so upload only this host's shards; arrays
-            # already global (the device-resident prior/depths) pass through
-            if not isinstance(x, jax.Array) or x.is_fully_addressable:
-                from apdmvs_tpu.parallel import multihost
-
-                return multihost.global_batch(mesh, spec, np.asarray(x))
-            return x
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_sharded(mesh, x, spec)
 
     images = put(images, img_s)
     cams = jax.tree.map(
@@ -268,7 +340,7 @@ def sharded_batch_pass(
             return _volume_batched_pass(
                 images, cams, src_valid, prior, keys, ransac_threshold,
                 all_depths, src_index, cfg, weak_capacity, use_geom,
-                num_slices, mesh,
+                num_slices, mesh, prebuilt,
             )
         return _batched_pass(
             images, cams, src_valid, prior, keys, ransac_threshold,

@@ -481,6 +481,7 @@ def run_scene_batched(
     verbose: bool = True,
     use_volumes: Optional[bool] = None,
     num_slices: int = 160,
+    volume_cache_gb: float = 6.0,
 ) -> str:
     """Batched/sharded reconstruction: all reference views of a pass run as
     ONE jitted program over a (view, space) device mesh.
@@ -574,6 +575,12 @@ def run_scene_batched(
 
     root_key = jax.random.PRNGKey(seed)
     state: Optional[pipeline.PassState] = None  # batched [N, ...]
+    # once-per-scale stacked image-volume cache (the batched analogue of
+    # the sequential SceneCache.image_volumes amortization): image volumes
+    # depend only on (problem, scale), so every pass of a round reuses one
+    # build. Gated on the per-device HBM budget; a miss falls back to the
+    # in-scan rebuild (memory-bounded staging).
+    vol_cache: dict = {}
 
     for spec in schedule:
         t0 = time.time()
@@ -708,12 +715,48 @@ def run_scene_batched(
         rth = np.full((N,), eff.ransac_threshold, np.float32)
 
         cfg = PassConfig.from_spec(eff)
+
+        # ---- once-per-scale stacked volume cache ----
+        prebuilt = None
+        if use_volumes:
+            prebuilt = vol_cache.get((W, H))
+            if prebuilt is None:
+                vol_cache.clear()  # schedule never revisits a finished scale
+                from apdmvs_tpu import ncc as ncc_mod
+                from apdmvs_tpu.ops import ncc_volume
+                from apdmvs_tpu.parallel.sharded import _batch_specs, put_sharded
+
+                PHp = ncc_mod._ceil_to(H, ncc_volume.NCC_TILE_H) + 2 * ncc_volume.PAD_Y
+                PWp = ncc_mod._ceil_to(W, ncc_volume.TILE_W) + 2 * ncc_volume.PAD_X
+                # E + C36 + C9, bf16 (ncc.build_image_volume_set layout)
+                per_problem = 3 * V * num_slices * PHp * PWp * 2
+                n_local = N // n_view_shards
+                if n_local * per_problem <= volume_cache_gb * 1e9:
+                    img_s, cams_s, _, _ = _batch_specs(mesh)
+                    imgs = put_sharded(mesh, imgs, img_s)
+                    cams_b = jax.tree.map(
+                        lambda x, s: put_sharded(mesh, x, s), cams_b, cams_s,
+                        is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+                    )
+                    with mesh:
+                        prebuilt = parallel.build_batch_image_volumes(
+                            imgs, cams_b, num_slices, mesh,
+                        )
+                    vol_cache[(W, H)] = prebuilt
+                elif verbose and jax.process_index() == 0:
+                    print(
+                        f"volume cache: {n_local} local problems x "
+                        f"{per_problem/1e9:.2f} GB exceeds budget "
+                        f"{volume_cache_gb} GB -> in-scan rebuild per pass"
+                    )
+
         out = parallel.sharded_batch_pass(
             mesh, imgs, cams_b, src_valid, prior,
             keys, rth, cfg, weak_capacity=weak_capacity,
             all_depths=all_depths,
             src_index=src_index if all_depths is not None else None,
             use_volumes=use_volumes, num_slices=num_slices,
+            prebuilt=prebuilt,
         )
         out = jax.block_until_ready(out)
         dmin_col, dmax_col = dmins[:, :1], dmaxs[:, :1]

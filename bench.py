@@ -70,10 +70,12 @@ def main() -> None:
     ap.add_argument("--views", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
-        "--batched-problems", type=int, default=0,
+        "--batched-problems", type=int, default=4,
         help="also time the batched/sharded runner with this many problems "
-        "in ONE jitted program (volume fast path, per-problem staging); "
-        "reported to stderr — the primary JSON metric is unchanged",
+        "in ONE jitted program (volume fast path, once-per-scale prebuilt "
+        "volume cache); 0 disables. Reported to stderr and as the "
+        "batched_maps_per_sec key of the JSON line — the primary metric "
+        "is unchanged",
     )
     args = ap.parse_args()
 
@@ -104,7 +106,9 @@ def main() -> None:
     pixel_state[H // 2 - H // 8 : H // 2 + H // 8, W // 2 - W // 8 : W // 2 + W // 8] = (
         PixelState.WEAK
     )
-    weak_capacity = 1 << int(np.ceil(np.log2((H // 4) * (W // 4))))
+    from apdmvs_tpu.scene import _bucket_capacity
+
+    weak_capacity = _bucket_capacity((H // 4) * (W // 4), H * W)
 
     prior = pipeline.PassState(
         depth=jnp.asarray(depths[0]),
@@ -184,18 +188,27 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    batched_maps_per_sec = None
     if args.batched_problems > 0:
         # batched path: N problems through one jitted scan on the device
-        # mesh (all local devices on the view axis). Image volumes rebuild
-        # per (problem, pass) inside the scan — the memory-bounded staging
-        # — so expect ~ pass + full build per problem, not the sequential
-        # runner's 4-pass amortization.
+        # mesh (all local devices on the view axis), with the once-per-
+        # scale prebuilt image-volume cache (scene.run_scene_batched's
+        # amortization: prebuild charged at 1/4 — one build serves the
+        # round's 4 passes — depth volumes rebuilt in-scan every pass).
         from apdmvs_tpu import parallel
+        from apdmvs_tpu.parallel.sharded import _batch_specs, put_sharded
 
         N = args.batched_problems
         mesh = parallel.make_mesh(n_space=1)
-        imgs_b = jnp.broadcast_to(imgs, (N,) + imgs.shape)
-        gc_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (N,) + x.shape), gc)
+        img_s, cams_s, _, _ = _batch_specs(mesh)
+        imgs_b = put_sharded(mesh, jnp.broadcast_to(imgs, (N,) + imgs.shape), img_s)
+        gc_b = jax.tree.map(
+            lambda x, s: put_sharded(
+                mesh, jnp.broadcast_to(x, (N,) + x.shape), s
+            ),
+            gc, cams_s,
+            is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+        )
         sv_b = jnp.broadcast_to(sv, (N, V))
         prior_b = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (N,) + x.shape), prior
@@ -205,11 +218,25 @@ def main() -> None:
         dm_b = jnp.broadcast_to(dm[0][None], (N, H, W))
         src_index = jnp.zeros((N, V), jnp.int32)
 
+        def build_prebuilt():
+            with mesh:
+                pb = parallel.build_batch_image_volumes(
+                    imgs_b, gc_b, 160, mesh,
+                )
+            np.asarray(pb.E[0, 1, 0, 0])
+            return pb
+
+        pb = build_prebuilt()  # compile + warmup
+        t0 = time.time()
+        pb = build_prebuilt()
+        pb_build_s = time.time() - t0
+
         def run_batched(keys):
             out = parallel.sharded_batch_pass(
                 mesh, imgs_b, gc_b, sv_b, prior_b, keys, rth_b, cfg,
                 weak_capacity=weak_capacity, all_depths=dm_b,
                 src_index=src_index, use_volumes=True, num_slices=160,
+                prebuilt=pb,
             )
             np.asarray(out.depth[0, 0, :4])
             return out
@@ -219,25 +246,26 @@ def main() -> None:
         run_batched(jax.vmap(jax.random.PRNGKey)(
             jnp.arange(N, 2 * N, dtype=jnp.uint32)
         ))
-        batched_s = (time.time() - t0) / N
+        batched_s = (time.time() - t0 + pb_build_s / 4.0) / N
+        batched_maps_per_sec = 1.0 / batched_s
         print(
             f"batched runner ({N} problems, {len(jax.devices())} device(s), "
-            f"volumes in-scan): {batched_s*1000:.0f} ms/problem "
-            f"({1.0/batched_s:.3f} maps/s)",
+            f"prebuilt volumes {pb_build_s*1000:.0f} ms/4): "
+            f"{batched_s*1000:.0f} ms/problem amortized "
+            f"({batched_maps_per_sec:.3f} maps/s)",
             file=sys.stderr,
         )
 
     vs = maps_per_sec / BENCH_BASELINE if BENCH_BASELINE else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": f"depth_maps_per_sec_{W}x{H}x{V}v_full_pass_incl_builds",
-                "value": round(maps_per_sec, 4),
-                "unit": "depth-maps/s",
-                "vs_baseline": round(vs, 3),
-            }
-        )
-    )
+    row = {
+        "metric": f"depth_maps_per_sec_{W}x{H}x{V}v_full_pass_incl_builds",
+        "value": round(maps_per_sec, 4),
+        "unit": "depth-maps/s",
+        "vs_baseline": round(vs, 3),
+    }
+    if batched_maps_per_sec is not None:
+        row["batched_maps_per_sec"] = round(batched_maps_per_sec, 4)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -160,3 +160,79 @@ def test_volume_batched_matches_sequential_volumes(tmp_path):
         ps_b = np.asarray(out_b.pixel_state[i])
         ps_i = np.asarray(out_i.pixel_state)
         assert np.mean(ps_b == ps_i) > 0.999, np.mean(ps_b == ps_i)
+
+
+def test_prebuilt_volumes_match_in_scan(tmp_path):
+    """The once-per-scale stacked volume cache (build_batch_image_volumes +
+    sharded_batch_pass(prebuilt=...)) produces bit-identical pass outputs to
+    the in-scan per-problem rebuild: the volumes are the same arrays, only
+    WHEN they are built differs (round-3 VERDICT next-round item 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from apdmvs_tpu import geometry, parallel, pipeline
+    from apdmvs_tpu.params import PassConfig, RunState
+
+    cams, planes = synthetic.make_ring_scene(num_views=4, width=128, height=96)
+    images, depths, normals = synthetic.render_scene(cams, planes)
+    V, H, W = images.shape
+    K = np.stack([c.K for c in cams]).astype(np.float32)
+    R = np.stack([c.R for c in cams]).astype(np.float32)
+    t = np.stack([c.t for c in cams]).astype(np.float32)
+
+    cfg = PassConfig(
+        state=RunState.FIRST_INIT, geom_consistency=False, use_APD=False,
+        max_iterations=1,
+    )
+    N = 4
+    imgs_b = np.zeros((N, V, H, W), np.float32)
+    src_valid = np.zeros((N, V), bool)
+    src_valid[:, 1:] = True
+    Kb = np.zeros((N, V, 3, 3), np.float32)
+    Rb = np.zeros((N, V, 3, 3), np.float32)
+    tb = np.zeros((N, V, 3), np.float32)
+    for i in range(N):
+        order = [i] + [j for j in range(V) if j != i]
+        imgs_b[i] = images[order]
+        Kb[i], Rb[i], tb[i] = K[order], R[order], t[order]
+    dmin = np.full((N, V), 2.0 * 0.6, np.float32)
+    dmax = np.full((N, V), 8.0 * 1.2, np.float32)
+    cams_b = geometry.make_cameras(
+        Kb.reshape(-1, 3, 3), Rb.reshape(-1, 3, 3), tb.reshape(-1, 3),
+        dmin.ravel(), dmax.ravel(),
+    )
+    cams_b = jax.tree.map(lambda x: x.reshape((N, V) + x.shape[1:]), cams_b)
+    prior = pipeline.PassState(
+        depth=jnp.zeros((N, H, W), jnp.float32),
+        normal_world=jnp.zeros((N, H, W, 3), jnp.float32),
+        pixel_state=jnp.zeros((N, H, W), jnp.uint8),
+        selected=jnp.zeros((N, V, H, W), bool),
+    )
+    keys = jnp.stack([jax.random.PRNGKey(i) for i in range(N)])
+    rth = jnp.full((N,), 0.01, jnp.float32)
+    mesh = parallel.make_mesh(n_view=4, n_space=1)
+
+    from apdmvs_tpu.parallel.sharded import _batch_specs, put_sharded
+
+    img_s, cams_s, _, _ = _batch_specs(mesh)
+    imgs_d = put_sharded(mesh, jnp.asarray(imgs_b), img_s)
+    cams_d = jax.tree.map(
+        lambda x, s: put_sharded(mesh, x, s), cams_b, cams_s,
+        is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+    )
+    with mesh:
+        prebuilt = parallel.build_batch_image_volumes(
+            imgs_d, cams_d, 64, mesh, weak_cost_volumes=False,
+        )
+
+    out_pb = parallel.sharded_batch_pass(
+        mesh, imgs_d, cams_d, jnp.asarray(src_valid), prior, keys, rth, cfg,
+        weak_capacity=0, use_volumes=True, num_slices=64, prebuilt=prebuilt,
+    )
+    out_scan = parallel.sharded_batch_pass(
+        mesh, imgs_d, cams_d, jnp.asarray(src_valid), prior, keys, rth, cfg,
+        weak_capacity=0, use_volumes=True, num_slices=64,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(out_pb),
+                    jax.tree_util.tree_leaves(out_scan)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
