@@ -106,12 +106,21 @@ def _angle(n1, n2):
     return jnp.where(jnp.isnan(ang), 0.0, ang)
 
 
-@functools.partial(jax.jit, static_argnames=("weak_factor", "strong_factor"))
-def _fuse_eth_program(
-    fa: FusionArrays, weak_factor: float = 0.45, strong_factor: float = 0.3
+def _fuse_eth_body(
+    fa: FusionArrays,
+    masks0: jax.Array,
+    weak_factor: float = 0.45,
+    strong_factor: float = 0.3,
 ):
     """The scanned fusion program. Returns per-view dense emission fields
-    (accept [Nv, H, W], X [Nv, H, W, 3], color [Nv, H, W, 3])."""
+    (accept [Nv, H, W], X [Nv, H, W, 3], color [Nv, H, W, 3]).
+
+    ``masks0`` [Nv, H, W] bool is the consumed-mask scan carry's initial
+    value; passing it in (rather than creating it inside the jit) lets the
+    caller pin its sharding — under a (view, space) mesh the masks shard
+    over the space (row) axis like every other pixel field, and XLA's SPMD
+    partitioner inserts the cross-shard collectives for the scattered
+    source-pixel reads/updates (SURVEY §7 step 6: distributed fusion)."""
     Nv, H, W = fa.depth.shape
     J = fa.src_idx.shape[1]
     ys, xs = jnp.meshgrid(
@@ -196,26 +205,72 @@ def _fuse_eth_program(
         color = csum / (num[..., None].astype(jnp.float32) + 1.0)
         return masks, (accept, X, color)
 
-    masks0 = jnp.zeros((Nv, H, W), bool)
     _, (accepts, Xs, colors) = jax.lax.scan(
         view_step, masks0, jnp.arange(Nv)
     )
     return accepts, Xs, colors
 
 
+_fuse_eth_program = jax.jit(
+    _fuse_eth_body, static_argnames=("weak_factor", "strong_factor")
+)
+
+
 def fuse_eth_device(
     views: Sequence, src_ids: Sequence[Sequence[int]],
     weak_factor: float = 0.45, strong_factor: float = 0.3,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Device fusion with fusion.fuse_eth's interface; requires all views
     at one resolution. Host compacts the dense emission fields at the end.
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` with a 'space' axis — the
+    per-view pixel fields AND the consumed-mask scan carry are then
+    row-sharded over it (the distributed-fusion redesign: the view scan
+    stays sequential, everything inside a view is pixel-parallel across
+    devices; XLA inserts the cross-shard gathers for the scattered
+    source-pixel reads and mask updates).
     """
     if not all(v.depth.shape == views[0].depth.shape for v in views):
         raise ValueError("device fusion requires uniform depth-map shapes")
     fa = pack_views(views, src_ids)
-    accepts, Xs, colors = _fuse_eth_program(
-        fa, weak_factor=weak_factor, strong_factor=strong_factor
-    )
+    masks0 = jnp.zeros(fa.depth.shape, bool)
+    if mesh is None:
+        accepts, Xs, colors = _fuse_eth_program(
+            fa, masks0, weak_factor=weak_factor, strong_factor=strong_factor
+        )
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def rows(nd_after_h):
+            return NamedSharding(mesh, P(None, "space", *([None] * nd_after_h)))
+
+        def srepl(x):
+            # small/replicated inputs still need global placement on a
+            # multi-process mesh
+            return jax.device_put(x, NamedSharding(mesh, P()))
+
+        fa = FusionArrays(
+            K=srepl(fa.K), R=srepl(fa.R), t=srepl(fa.t), c=srepl(fa.c),
+            depth=jax.device_put(fa.depth, rows(1)),
+            normal=jax.device_put(fa.normal, rows(2)),
+            color=jax.device_put(fa.color, rows(2)),
+            factor=jax.device_put(fa.factor, rows(1)),
+            valid0=jax.device_put(fa.valid0, rows(1)),
+            src_idx=srepl(fa.src_idx),
+        )
+        masks0 = jax.device_put(masks0, rows(1))
+        # replicated outputs: every process can host-read the full dense
+        # emission fields (multi-host PLY export happens on process 0)
+        prog = jax.jit(
+            _fuse_eth_body,
+            static_argnames=("weak_factor", "strong_factor"),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+        with mesh:
+            accepts, Xs, colors = prog(
+                fa, masks0, weak_factor=weak_factor, strong_factor=strong_factor
+            )
     accepts = np.asarray(accepts)
     Xs = np.asarray(Xs)
     colors = np.asarray(colors)

@@ -836,15 +836,11 @@ def run_scene_batched(
     return ply
 
 
-def run_fusion(
-    dense_folder: str | os.PathLike,
-    problems: Sequence[Problem],
-    variant: str = "eth",
-    out_name: str = "APD.ply",
-) -> str:
-    """Load all per-view outputs and fuse to a point cloud
-    (reference RunFusion: APD.cpp:826-977, called at main.cpp:219)."""
-    dense_folder = str(dense_folder)
+def _load_fusion_views(
+    dense_folder: str, problems: Sequence[Problem]
+) -> Tuple[List["fusion_mod.FusionView"], List[List[int]]]:
+    """Per-view fusion inputs from the persisted pass outputs
+    (the reference re-reads depths/normals/weak per view, APD.cpp:826-900)."""
     id_to_pos = {p.ref_image_id: i for i, p in enumerate(problems)}
     views: List[fusion_mod.FusionView] = []
     for p in problems:
@@ -886,6 +882,19 @@ def run_fusion(
     src_ids = [
         [id_to_pos[s] for s in p.src_image_ids if s in id_to_pos] for p in problems
     ]
+    return views, src_ids
+
+
+def run_fusion(
+    dense_folder: str | os.PathLike,
+    problems: Sequence[Problem],
+    variant: str = "eth",
+    out_name: str = "APD.ply",
+) -> str:
+    """Load all per-view outputs and fuse to a point cloud
+    (reference RunFusion: APD.cpp:826-977, called at main.cpp:219)."""
+    dense_folder = str(dense_folder)
+    views, src_ids = _load_fusion_views(dense_folder, problems)
     if variant == "eth":
         coords, colors = fusion_mod.fuse_eth(views, src_ids)
     elif variant == "eth-device":
@@ -902,6 +911,37 @@ def run_fusion(
         raise ValueError(f"unknown fusion variant {variant!r}")
     out_path = os.path.join(dense_folder, "APD", out_name)
     formats.export_point_cloud(out_path, coords, colors)
+    return out_path
+
+
+def run_fusion_device_sharded(
+    dense_folder: str | os.PathLike,
+    problems: Sequence[Problem],
+    mesh=None,
+    out_name: str = "APD_device.ply",
+) -> str:
+    """Distributed device fusion: the ETH fusion scan with the consumed-mask
+    carry ROW-SHARDED across all devices (fusion_device.fuse_eth_device's
+    mesh mode). COLLECTIVE: in a multi-process run every process must call
+    this (the program spans the global mesh); process 0 writes the PLY and
+    every process returns its path. Contrast run_fusion, which fuses
+    host-side on the calling process only (the reference's host-only shape,
+    APD.cpp:826)."""
+    import jax.numpy as jnp  # noqa: F401
+    from jax.sharding import Mesh
+
+    from apdmvs_tpu import fusion_device
+
+    dense_folder = str(dense_folder)
+    views, src_ids = _load_fusion_views(dense_folder, problems)
+    if mesh is None:
+        mesh = Mesh(
+            np.asarray(jax.devices()).reshape(1, -1), ("view", "space")
+        )
+    coords, colors = fusion_device.fuse_eth_device(views, src_ids, mesh=mesh)
+    out_path = os.path.join(dense_folder, "APD", out_name)
+    if jax.process_index() == 0:
+        formats.export_point_cloud(out_path, coords, colors)
     return out_path
 
 

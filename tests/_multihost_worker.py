@@ -36,4 +36,10 @@ ply = scene.run_scene_batched(
     # resample (a collective program every process must enter)
     min_rounds=2,
 )
-print(f"WORKER_OK {pid} {ply}", flush=True)
+
+# distributed device fusion on the SAME outputs: the consumed-mask scan
+# carry row-shards across both processes' devices (collective program —
+# every process enters; process 0 writes APD_device.ply)
+problems = scene.generate_sample_list(folder)
+plyd = scene.run_fusion_device_sharded(folder, problems)
+print(f"WORKER_OK {pid} {ply} {plyd}", flush=True)

@@ -58,6 +58,16 @@ def test_two_process_scene(tmp_path):
 
     ply = os.path.join(folder, "APD", "APD.ply")
     assert os.path.exists(ply)
+    # the collective sharded device fusion must have produced a cloud of
+    # comparable size (f32-on-device vs f64-on-host flips borderline
+    # acceptances only)
+    plyd = os.path.join(folder, "APD", "APD_device.ply")
+    assert os.path.exists(plyd)
+    ch, _ = formats.read_point_cloud(ply)
+    cd, _ = formats.read_point_cloud(plyd)
+    assert cd.shape[0] > 0
+    assert abs(cd.shape[0] - ch.shape[0]) / max(ch.shape[0], 1) < 0.05, (
+        cd.shape[0], ch.shape[0])
     coords, colors = formats.read_point_cloud(ply)
     assert coords.shape[0] > 1500, coords.shape
     d = np.full(coords.shape[0], np.inf)
