@@ -51,3 +51,11 @@ def ring_scene():
     cams, planes = synthetic.make_ring_scene(num_views=4, width=160, height=120)
     images, depths, normals = synthetic.render_scene(cams, planes)
     return cams, planes, images, depths, normals
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: scene-level end-to-end tests (minutes each on the CPU mesh); "
+        "deselect with -m 'not slow' for the fast unit/kernel tier",
+    )

@@ -16,6 +16,8 @@ import pytest
 from apdmvs_tpu.datasets import synthetic
 from apdmvs_tpu.io import formats
 
+pytestmark = pytest.mark.slow  # scene-level end-to-end (fast tier: -m 'not slow')
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -15,6 +15,8 @@ from apdmvs_tpu import scene
 from apdmvs_tpu.datasets import synthetic
 from apdmvs_tpu.io import formats
 
+pytestmark = pytest.mark.slow  # scene-level end-to-end (fast tier: -m 'not slow')
+
 
 def _run_and_eval(tmp_path, cams, prims, seed=0, noise=True, **run_kw):
     folder = str(tmp_path / "scene")

@@ -15,6 +15,8 @@ from apdmvs_tpu.datasets import synthetic
 from apdmvs_tpu.io import formats
 from apdmvs_tpu.params import PixelState
 
+pytestmark = pytest.mark.slow  # scene-level end-to-end (fast tier: -m 'not slow')
+
 
 def _point_to_planes_dist(points: np.ndarray, planes) -> np.ndarray:
     """Min |n . (X - p0)| over scene planes for each point."""

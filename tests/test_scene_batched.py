@@ -11,6 +11,8 @@ from apdmvs_tpu import scene
 from apdmvs_tpu.datasets import synthetic
 from apdmvs_tpu.io import formats
 
+pytestmark = pytest.mark.slow  # scene-level end-to-end (fast tier: -m 'not slow')
+
 
 def test_run_scene_batched(tmp_path):
     folder = str(tmp_path / "scene")
