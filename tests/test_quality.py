@@ -35,18 +35,21 @@ def test_occlusion_scene_quality(tmp_path):
     matches (the consistency thresholds' purpose, APD.cpp:918-951)."""
     cams, prims = synthetic.make_occlusion_scene(num_views=4)
     m, coords, depths = _run_and_eval(tmp_path, cams, prims)
+    # floors ~0.9x of measured (BASELINE.md quality table: acc 0.904,
+    # f1 0.603) so a real regression cannot pass silently (VERDICT r3)
     assert m.num_points > 3000, m
-    assert m.accuracy > 0.75, m
-    assert m.f1 > 0.55, m
+    assert m.accuracy > 0.81, m
+    assert m.f1 > 0.54, m
 
 
 def test_curved_scene_quality(tmp_path):
     """Sphere + wall: per-pixel local planes must track curvature."""
     cams, prims = synthetic.make_curved_scene(num_views=4)
     m, coords, depths = _run_and_eval(tmp_path, cams, prims)
+    # ~0.9x measured (acc 0.990, f1 0.805)
     assert m.num_points > 3000, m
-    assert m.accuracy > 0.75, m
-    assert m.f1 > 0.55, m
+    assert m.accuracy > 0.89, m
+    assert m.f1 > 0.72, m
 
 
 def test_multi_round_apd_end_to_end(tmp_path):
@@ -65,9 +68,10 @@ def test_multi_round_apd_end_to_end(tmp_path):
     m, coords, depths = _run_and_eval(
         tmp_path, cams, prims, noise=False, min_rounds=2, debug_dumps=True
     )
+    # ~0.9x measured (acc 0.997, f1 0.870)
     assert m.num_points > 1500, m
-    assert m.accuracy > 0.75, m
-    assert m.f1 > 0.55, m
+    assert m.accuracy > 0.90, m
+    assert m.f1 > 0.78, m
 
     # probe files for view 0 parse and are self-consistent
     folder = str(tmp_path / "scene")
@@ -88,6 +92,7 @@ def test_radiometric_robustness(tmp_path):
     relative to the clean run (same ring scene as test_scene.py)."""
     cams, prims = synthetic.make_ring_scene(num_views=4, width=160, height=120)
     m_noisy, _, _ = _run_and_eval(tmp_path, cams, prims, noise=True)
+    # ~0.9x measured (acc 0.999, f1 0.902)
     assert m_noisy.num_points > 3000, m_noisy
-    assert m_noisy.accuracy > 0.75, m_noisy
-    assert m_noisy.f1 > 0.55, m_noisy
+    assert m_noisy.accuracy > 0.90, m_noisy
+    assert m_noisy.f1 > 0.81, m_noisy
