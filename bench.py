@@ -197,8 +197,24 @@ def main() -> None:
         # round's 4 passes — depth volumes rebuilt in-scan every pass).
         from apdmvs_tpu import parallel
         from apdmvs_tpu.parallel.sharded import _batch_specs, put_sharded
+        from apdmvs_tpu.ops import ncc_volume
+        from apdmvs_tpu.ncc import _ceil_to
 
-        N = args.batched_problems
+        # clamp the batch so the stacked prebuilt cache + one problem's
+        # transient depth volumes fit the HBM budget (same gate as
+        # scene.run_scene_batched; a VGA 5-view set is ~2.1 GB/problem)
+        PHp = _ceil_to(H, ncc_volume.NCC_TILE_H) + 2 * ncc_volume.PAD_Y
+        PWp = _ceil_to(W, ncc_volume.TILE_W) + 2 * ncc_volume.PAD_X
+        per_problem = 3 * V * 160 * PHp * PWp * 2
+        n_devices = len(jax.devices())
+        fit = max(1, int(6e9 // per_problem)) * n_devices
+        N = min(args.batched_problems, fit)
+        if N < args.batched_problems:
+            print(
+                f"batched row: clamping {args.batched_problems} -> {N} "
+                f"problems ({per_problem/1e9:.2f} GB/problem prebuilt cache)",
+                file=sys.stderr,
+            )
         mesh = parallel.make_mesh(n_space=1)
         img_s, cams_s, _, _ = _batch_specs(mesh)
         imgs_b = put_sharded(mesh, jnp.broadcast_to(imgs, (N,) + imgs.shape), img_s)

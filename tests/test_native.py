@@ -69,3 +69,42 @@ def test_native_tat_matches_numpy(oracle_views):
         assert cn.shape[0] > 10000
         assert abs(cn.shape[0] - cp.shape[0]) / cp.shape[0] < 0.05
         assert np.median(_plane_dist(cn, planes)) < 0.01
+
+
+def test_collision_heavy_backend_parity():
+    """Numpy-vs-native parity where it is hardest: two source views at
+    2.5x distance see the scene ~6x smaller, so many near-view reference
+    pixels claim the SAME far-view source pixel and the greedy consumed-
+    mask order actually matters. The numpy path's single acceptance
+    recomputation must stay within 0.3% of the native sequential counts
+    (measured 0.10%; divergence mechanism documented in fuse_eth)."""
+    import dataclasses
+
+    cams, planes = synthetic.make_ring_scene(num_views=4, width=160, height=120)
+    moved = []
+    for i, c in enumerate(cams):
+        if i >= 2:  # push back along the view direction
+            center = -c.R.T @ c.t + c.R.T @ np.array([0.0, 0.0, -6.0])
+            c = dataclasses.replace(c, t=(-c.R @ center).astype(c.t.dtype))
+        moved.append(c)
+    images, depths, normals = synthetic.render_scene(moved, planes)
+    views = []
+    for i, cam in enumerate(moved):
+        bgr = np.repeat(
+            np.clip(images[i], 0, 255).astype(np.uint8)[..., None], 3, -1
+        )
+        views.append(
+            fusion.FusionView(
+                K=cam.K.astype(np.float64), R=cam.R.astype(np.float64),
+                t=cam.t.astype(np.float64), image_bgr=bgr, depth=depths[i],
+                normal=normals[i],
+                weak=np.full(depths[i].shape, PixelState.STRONG, np.uint8),
+            )
+        )
+    n = len(views)
+    src_ids = [[j for j in range(n) if j != i] for i in range(n)]
+    cn, _ = fusion.fuse_eth(views, src_ids, backend="native")
+    cp, _ = fusion.fuse_eth(views, src_ids, backend="numpy")
+    assert cn.shape[0] > 20000
+    assert abs(cn.shape[0] - cp.shape[0]) / cn.shape[0] < 0.003, (
+        cn.shape[0], cp.shape[0])
