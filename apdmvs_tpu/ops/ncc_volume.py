@@ -60,8 +60,11 @@ PAD_Y = 8
 PAD_X = 128
 TILE_H = 8  # builder/geom kernels' tile height
 TILE_W = 128
-NCC_TILE_H = 32  # NCC cost kernels' tile height (larger tiles amortize
-# per-tile DMA/scalar overhead ~4x; padded interior heights are multiples)
+NCC_TILE_H = 16  # NCC cost kernels' tile height. 8 pays ~4x per-tile
+# DMA/scalar overhead (round-3); 32 doubles every live accumulator to 4
+# vregs and the spill traffic with it — 16 measured fastest (round 4:
+# C=9 rebased view-call 55 -> 38 ms-class vs 32; exactness unchanged).
+# Padded interior heights are multiples of this.
 SUB_BAND = 32  # direct-kernel L1 band (slices); the base is one shared
 # scalar per tile, so the band must cover the k spread across the whole
 # tile plus the +-radius window; tiles that escape take the L2 fixup.
@@ -69,7 +72,9 @@ RB_BAND = 8  # rebased-kernel L1 band around the rebased origin J
 FULLK_CHUNK = 32  # L2 full-range select chunk (fori over K/chunk trips)
 _CAND_GROUP = 3  # candidates per shared-load group in the wide-band
 # kernels (direct L1, full-K): wider sharing at band>=25 exceeds Mosaic's
-# 16 MB scoped-vmem spill stack; the narrow rebased band shares across all
+# 16 MB scoped-vmem spill stack
+_RB_CAND_GROUP = 3  # rebased-L1 candidate group (round 4: the all-shared
+# form held >100 live vregs at C=9 / TILE_H 32 — spill-bound)
 COST_MAX = 2.0
 MIN_VAR = 1e-5
 
@@ -233,58 +238,61 @@ def _kernel_rb(
     bf_dma.wait()
     r_dma.wait()
 
-    fields = [
-        _plane_fields(consts_ref, planes_ref, c, dirx, diry)
-        for c in range(num_cands)
-    ]
-
-    sums = [
-        [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(3)]
-        for _ in range(num_cands)
-    ]
-    jmin = [jnp.asarray(jnp.inf) for _ in range(num_cands)]
-    jmax = [jnp.asarray(-jnp.inf) for _ in range(num_cands)]
-    for (dx, dy) in offsets:
-        bfs = bf_win[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
-        r0i, fr = [], []
-        acc0 = [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(num_cands)]
-        acc1 = [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(num_cands)]
-        for c in range(num_cands):
-            u_c, k_c, kx, ky = fields[c]
-            k = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
-            raw = k - bfs + J
-            jmin[c] = jnp.minimum(jmin[c], jnp.min(raw))
-            jmax[c] = jnp.maximum(jmax[c], jnp.max(raw))
-            rel = jnp.clip(raw, float(b_lo), b_hi - 1.0)
-            r0 = jnp.floor(rel)
-            r0i.append(r0.astype(jnp.int32))
-            fr.append(rel - r0)
-        prev = [None] * num_cands
-        for bb in range(b_lo, b_hi):
-            ev = r_win[
-                bb, PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx
-            ].astype(jnp.float32)
-            for c in range(num_cands):
-                eq = r0i[c] == bb
-                acc0[c] = jnp.where(eq, ev, acc0[c])
-                if prev[c] is not None:
-                    acc1[c] = jnp.where(prev[c], ev, acc1[c])
-                prev[c] = eq
-        rv = ref_tile[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
-        for c in range(num_cands):
-            sv = acc0[c] * (1.0 - fr[c]) + acc1[c] * fr[c]
-            sums[c][0] = sums[c][0] + sv
-            sums[c][1] = sums[c][1] + sv * sv
-            sums[c][2] = sums[c][2] + rv * sv
-
+    # candidates in groups of _RB_CAND_GROUP: the (sums + acc0/acc1) live
+    # set at C=9 and TILE_H=32 is >100 vregs — far beyond the register
+    # file — so full load-sharing across all candidates trades a little
+    # slice-load reuse for a lot of Mosaic spill traffic (the kernels are
+    # spill-bound, round-3 ledger)
     need_e = jnp.asarray(False)
-    for c in range(num_cands):
-        cost = _ncc_epilogue(s_r, s_rr, sums[c][0], sums[c][1], sums[c][2], S)
-        oob = _center_oob(consts_ref, 0, dirx, diry, fields[c][0])
-        # NaN jmin/jmax propagate -> fits False -> L2 recomputes exactly
-        fits = (jmin[c] >= float(b_lo)) & (jmax[c] <= b_hi - 1.5)
-        need_e = need_e | ~fits
-        cost_ref[c] = jnp.where(oob, COST_MAX, jnp.where(fits, cost, -1.0))
+    for g0 in range(0, num_cands, _RB_CAND_GROUP):
+        cg = list(range(g0, min(g0 + _RB_CAND_GROUP, num_cands)))
+        fields = {
+            c: _plane_fields(consts_ref, planes_ref, c, dirx, diry) for c in cg
+        }
+        sums = {c: [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(3)]
+                for c in cg}
+        jmin = {c: jnp.asarray(jnp.inf) for c in cg}
+        jmax = {c: jnp.asarray(-jnp.inf) for c in cg}
+        for (dx, dy) in offsets:
+            bfs = bf_win[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
+            r0i, fr = {}, {}
+            acc0 = {c: jnp.zeros((th, TILE_W), jnp.float32) for c in cg}
+            acc1 = {c: jnp.zeros((th, TILE_W), jnp.float32) for c in cg}
+            for c in cg:
+                u_c, k_c, kx, ky = fields[c]
+                k = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
+                raw = k - bfs + J
+                jmin[c] = jnp.minimum(jmin[c], jnp.min(raw))
+                jmax[c] = jnp.maximum(jmax[c], jnp.max(raw))
+                rel = jnp.clip(raw, float(b_lo), b_hi - 1.0)
+                r0 = jnp.floor(rel)
+                r0i[c] = r0.astype(jnp.int32)
+                fr[c] = rel - r0
+            prev = {c: None for c in cg}
+            for bb in range(b_lo, b_hi):
+                ev = r_win[
+                    bb, PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx
+                ].astype(jnp.float32)
+                for c in cg:
+                    eq = r0i[c] == bb
+                    acc0[c] = jnp.where(eq, ev, acc0[c])
+                    if prev[c] is not None:
+                        acc1[c] = jnp.where(prev[c], ev, acc1[c])
+                    prev[c] = eq
+            rv = ref_tile[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
+            for c in cg:
+                sv = acc0[c] * (1.0 - fr[c]) + acc1[c] * fr[c]
+                sums[c][0] = sums[c][0] + sv
+                sums[c][1] = sums[c][1] + sv * sv
+                sums[c][2] = sums[c][2] + rv * sv
+
+        for c in cg:
+            cost = _ncc_epilogue(s_r, s_rr, sums[c][0], sums[c][1], sums[c][2], S)
+            oob = _center_oob(consts_ref, 0, dirx, diry, fields[c][0])
+            # NaN jmin/jmax propagate -> fits False -> L2 recomputes exactly
+            fits = (jmin[c] >= float(b_lo)) & (jmax[c] <= b_hi - 1.5)
+            need_e = need_e | ~fits
+            cost_ref[c] = jnp.where(oob, COST_MAX, jnp.where(fits, cost, -1.0))
     flag_ref[i, j] = need_e.astype(jnp.int32)
 
 
