@@ -42,7 +42,7 @@ class VolumeSet(NamedTuple):
 
     E: [V, K, Hp+2*PAD_Y, Wp+2*PAD_X] bf16 — entry 0 (the ref view) is
       zeros/unused; (Hp, Wp) = image dims padded up to (8, 128) multiples.
-    consts: [V, 1, 20] f32 — ncc_volume.pack_consts per view.
+    consts: [V, 1, 21] f32 — ncc_volume.pack_consts per view.
     ref_pad: [Hp+2*PAD_Y, Wp+2*PAD_X] f32 — padded reference image.
     D / geom_consts: optional source-depth volumes (trunc-sampled,
       [V, K, Hp, Wp]) + reprojection constants for geometric-consistency
@@ -68,13 +68,20 @@ class VolumeSet(NamedTuple):
     base_k: Optional[jax.Array] = None
 
     @property
+    def spaced(self) -> bool:
+        """True when the set stores per-space-shard haloed row slabs
+        (leading [S] axis on every pixel-grid field; parallel/spaced.py)."""
+        return self.E.ndim == 5
+
+    @property
     def num_slices(self) -> int:
-        return self.E.shape[1]
+        return self.E.shape[2] if self.spaced else self.E.shape[1]
 
     @property
     def u_grid(self):
         """(u_min, du) of the slice grid as traced scalars."""
-        return self.consts[1, 0, 4], self.consts[1, 0, 5]
+        c = self.consts[0] if self.consts.ndim == 4 else self.consts
+        return c[1, 0, 4], c[1, 0, 5]
 
 
 class CostContext(NamedTuple):
@@ -182,7 +189,7 @@ def build_image_volume_set(
                     jnp.bfloat16,
                 )
             )
-            consts.append(jnp.zeros((1, 20), jnp.float32))
+            consts.append(jnp.zeros((1, ncc_volume._NCONST), jnp.float32))
             continue
         Es.append(
             vol.build_volume_pallas(
@@ -300,6 +307,8 @@ def rebase_volume_set(vs: VolumeSet, cams: Cameras, depth: jax.Array) -> VolumeS
     """
     from apdmvs_tpu.ops import ncc_volume
 
+    if vs.spaced:
+        return rebase_volume_set_spaced(vs, cams, depth)
     if jax.default_backend() == "cpu":
         # CPU grid calls route through the XLA mirror; R would be unused
         return vs
@@ -354,6 +363,8 @@ def _cost_vector_volume(
     from apdmvs_tpu.ops import ncc_volume
 
     vs = ctx.volumes
+    if vs.spaced:
+        return _cost_vector_volume_spaced(ctx, plane, radius, increment)
     H, W = ctx.height, ctx.width
     Hp = vs.ref_pad.shape[0] - 2 * ncc_volume.PAD_Y
     Wp = vs.ref_pad.shape[1] - 2 * ncc_volume.PAD_X
@@ -633,6 +644,8 @@ def cost_vector_full(
     vs = ctx.volumes
     if vs is None:
         return cost_vector(ctx, plane, radius, increment)
+    if vs.spaced:
+        return _cost_vector_full_spaced(ctx, plane, radius, increment)
     H, W = ctx.height, ctx.width
     Hp = vs.ref_pad.shape[0] - 2 * ncc_volume.PAD_Y
     Wp = vs.ref_pad.shape[1] - 2 * ncc_volume.PAD_X
@@ -696,6 +709,8 @@ def _geom_cost_vector_volume(ctx: CostContext, plane: jax.Array) -> jax.Array:
     from apdmvs_tpu.ops import ncc_volume
 
     vs = ctx.volumes
+    if vs.spaced:
+        return _geom_cost_vector_volume_spaced(ctx, plane)
     H, W = ctx.height, ctx.width
     Hp, Wp = vs.D.shape[2], vs.D.shape[3]
     squeeze = plane.ndim == 3
@@ -784,3 +799,329 @@ def recost_selected_views(
     total = jnp.sum(jnp.where(ok, costs, 0.0), axis=0)
     cost = jnp.where(count > 0, total / jnp.maximum(count, 1), COST_MAX)
     return cost, ok
+
+
+# ---------------------------------------------------------------------------
+# Space-sharded (row-slab) volumes — parallel/spaced.py rationale
+# ---------------------------------------------------------------------------
+
+
+def view_consts(vs: VolumeSet) -> jax.Array:
+    """[V, NCONST] per-view warp consts. For spaced sets, shard 0's copy —
+    every field a consumer may read (intrinsics, M, b, src dims, u grid)
+    is shard-invariant; only row0 (index 20) differs per shard and must
+    not be read through this accessor."""
+    return vs.consts[0, :, 0] if vs.consts.ndim == 4 else vs.consts[:, 0]
+
+
+def view_geom_consts(vs: VolumeSet) -> jax.Array:
+    return (
+        vs.geom_consts[0, :, 0]
+        if vs.geom_consts.ndim == 4
+        else vs.geom_consts[:, 0]
+    )
+
+
+def _space_geom(vs: VolumeSet):
+    """(S, V, Hs, Wp, Hp) of a spaced set."""
+    from apdmvs_tpu.ops import ncc_volume
+
+    S, V = vs.E.shape[0], vs.E.shape[1]
+    Hs = vs.E.shape[-2] - 2 * ncc_volume.PAD_Y
+    Wp = vs.E.shape[-1] - 2 * ncc_volume.PAD_X
+    return S, V, Hs, Wp, S * Hs
+
+
+def build_volume_set_spaced(
+    images: jax.Array,  # [V, H, W] f32 (replicated)
+    cams: Cameras,
+    depth_min,
+    depth_max,
+    mesh,
+    num_slices: int = 160,
+    depth_maps: Optional[jax.Array] = None,
+    weak_cost_volumes: bool = True,
+) -> VolumeSet:
+    """VolumeSet of per-space-shard HALOED row slabs, every pixel field
+    with a leading [S] axis sharded over ``mesh``'s 'space' axis.
+
+    Shard s owns interior rows [s*Hs, (s+1)*Hs) and stores rows
+    [s*Hs - PAD_Y, (s+1)*Hs + PAD_Y): the halos are built EXACTLY (the
+    warp builders take the slab's global row offset), so the NCC/geom
+    kernels run unchanged per slab and need no runtime halo exchange.
+    The slab's C36/C9 halo rows within ``radius`` of the slab edge carry
+    clamped sums, but only interior rows are ever fetched (ownership
+    masking in the spaced build_weak_cols)."""
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    from apdmvs_tpu.ops import cost_volume as cvmod, ncc_volume, volume as vol
+    from apdmvs_tpu.parallel import spaced as spmod
+
+    spmod.set_space_mesh(mesh)
+    V, H, W = images.shape
+    S = dict(zip(mesh.axis_names, mesh.devices.shape))["space"]
+    Hp = _ceil_to(H, ncc_volume.NCC_TILE_H * S)
+    Hs = Hp // S
+    Wp = _ceil_to(W, ncc_volume.TILE_W)
+    PWp = Wp + 2 * ncc_volume.PAD_X
+    PAD_Y = ncc_volume.PAD_Y
+    wc = geometry.warp_constants(cams)
+    u_min, du = vol.inv_depth_grid(depth_min, depth_max, num_slices)
+    ref_pad_g = jnp.pad(
+        jnp.asarray(images[0], jnp.float32),
+        ((PAD_Y, Hp - H + PAD_Y), (ncc_volume.PAD_X, Wp - W + ncc_volume.PAD_X)),
+        mode="edge",
+    )
+
+    @_ft.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=jax.tree.map(lambda _: P("space"), VolumeSet(
+            0, 0, 0,
+            D=0 if depth_maps is not None else None,
+            geom_consts=0 if depth_maps is not None else None,
+            C36=0 if weak_cost_volumes else None,
+            C9=0 if weak_cost_volumes else None,
+        )),
+        check_vma=False,
+    )
+    def build(images_, K0_, M_, b_, ref_g):
+        s = jax.lax.axis_index("space")
+        row0 = (s * Hs).astype(jnp.float32)
+        Es, consts = [], []
+        for v in range(V):
+            if v == 0:
+                Es.append(jnp.zeros(
+                    (num_slices, Hs + 2 * PAD_Y, PWp), jnp.bfloat16))
+                consts.append(jnp.zeros((1, ncc_volume._NCONST), jnp.float32))
+                continue
+            Es.append(vol.build_volume_pallas(
+                images_[v], M_[v], b_[v], K0_, Hs, Wp, u_min, du, num_slices,
+                pad_y=PAD_Y, pad_x=ncc_volume.PAD_X, dtype=jnp.bfloat16,
+                row0=row0,
+            ))
+            consts.append(ncc_volume.pack_consts(
+                K0_, M_[v], b_[v], u_min, du, W, H, row0=row0))
+        ref_slab = jax.lax.dynamic_slice(
+            ref_g, ((s * Hs).astype(jnp.int32), 0), (Hs + 2 * PAD_Y, PWp))
+        C36 = C9 = None
+        if weak_cost_volumes:
+            C36 = jnp.stack([
+                jnp.zeros_like(Es[0]) if v == 0 else
+                cvmod.build_cost_volume(Es[v], ref_slab, radius=5, increment=2)
+                for v in range(V)
+            ])
+            C9 = jnp.stack([
+                jnp.zeros_like(Es[0]) if v == 0 else
+                cvmod.build_cost_volume(Es[v], ref_slab, radius=5, increment=5)
+                for v in range(V)
+            ])
+        out = VolumeSet(
+            E=jnp.stack(Es)[None],
+            consts=jnp.stack(consts)[None],
+            ref_pad=ref_slab[None],
+            C36=None if C36 is None else C36[None],
+            C9=None if C9 is None else C9[None],
+        )
+        if depth_maps is not None:
+            out = out._replace(**_spaced_depth_fields(
+                cams, depth_maps, u_min, du, num_slices, Hs, Wp, W, H, row0))
+        return out
+
+    return build(
+        jnp.asarray(images, jnp.float32), cams.K[0], wc.M, wc.b, ref_pad_g
+    )
+
+
+def _spaced_depth_fields(cams, depth_maps, u_min, du, num_slices, Hs, Wp,
+                         W, H, row0):
+    """Per-shard depth-volume slabs + geom consts (inside the build body)."""
+    from apdmvs_tpu.ops import ncc_volume, volume as vol
+
+    V = depth_maps.shape[0]
+    wc = geometry.warp_constants(cams)
+    K_ref, R_ref = cams.K[0], cams.R[0]
+    Ds, gconsts = [], []
+    for v in range(V):
+        if v == 0:
+            Ds.append(jnp.zeros((num_slices, Hs, Wp), jnp.float32))
+            gconsts.append(jnp.zeros((1, ncc_volume._NGEOM), jnp.float32))
+            continue
+        Ds.append(vol.build_volume_pallas(
+            depth_maps[v], wc.M[v], wc.b[v], cams.K[0], Hs, Wp, u_min, du,
+            num_slices, pad_y=0, pad_x=0, dtype=jnp.float32, trunc=True,
+            row0=row0,
+        ))
+        A = geometry.mat3_mat3(
+            geometry.mat3_mat3(
+                geometry.mat3_mat3(K_ref, R_ref), jnp.swapaxes(cams.R[v], -1, -2)
+            ),
+            geometry.k_inverse_zero_skew(cams.K[v]),
+        )
+        t2 = geometry.mat3_vec(
+            geometry.mat3_mat3(K_ref, R_ref), cams.c[v] - cams.c[0]
+        )
+        gconsts.append(ncc_volume.pack_geom_consts(
+            cams.K[0], wc.M[v], wc.b[v], A, t2, u_min, du, W, H, row0=row0))
+    return dict(D=jnp.stack(Ds)[None], geom_consts=jnp.stack(gconsts)[None])
+
+
+def _pad_planes_cf(planes_cf: jax.Array, Hp: int, Wp: int) -> jax.Array:
+    """Pad channel-first plane fields to the (Hp, Wp) kernel grid with a
+    benign fronto-parallel plane."""
+    C, _, H, W = planes_cf.shape
+    if Hp != H:
+        pad = jnp.zeros((C, 4, Hp - H, W), planes_cf.dtype).at[:, 2].set(-1.0).at[:, 3].set(1.0)
+        planes_cf = jnp.concatenate([planes_cf, pad], axis=2)
+    if Wp != W:
+        pad = jnp.zeros((C, 4, Hp, Wp - W), planes_cf.dtype).at[:, 2].set(-1.0).at[:, 3].set(1.0)
+        planes_cf = jnp.concatenate([planes_cf, pad], axis=3)
+    return planes_cf
+
+
+def _spaced_grid_call(ctx: CostContext, plane: jax.Array, per_view_slab,
+                      needs_R: bool = False, cost_pad: float = COST_MAX):
+    """Shared spaced grid-evaluation harness: pad + slab-split the plane
+    fields, run ``per_view_slab(vs_local, planes_local)`` per shard under
+    shard_map, stitch rows back. Returns [V, C, H, W] (view 0 = pad)."""
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    from apdmvs_tpu.parallel import spaced as spmod
+
+    vs = ctx.volumes
+    mesh = spmod.space_mesh()
+    S, V, Hs, Wp, Hp = _space_geom(vs)
+    H, W = ctx.height, ctx.width
+    squeeze = plane.ndim == 3
+    if squeeze:
+        plane = plane[None]
+    C = plane.shape[0]
+    planes_cf = _pad_planes_cf(jnp.moveaxis(plane, -1, 1), Hp, Wp)
+    planes_sp = jnp.moveaxis(
+        planes_cf.reshape(C, 4, S, Hs, Wp), 2, 0)  # [S, C, 4, Hs, Wp]
+
+    vs_specs = jax.tree.map(lambda _: P("space"), vs)
+
+    @_ft.partial(
+        jax.shard_map, mesh=mesh, in_specs=(vs_specs, P("space")),
+        out_specs=P("space"), check_vma=False,
+    )
+    def body(vs_l, planes_l):
+        vloc = jax.tree.map(lambda x: x[0], vs_l)
+        outs = [per_view_slab(vloc, v, planes_l[0]) for v in range(1, V)]
+        return jnp.stack(outs)[None]  # [1, Vs, C, Hs, Wp]
+
+    out = body(vs, planes_sp)  # [S, Vs, C, Hs, Wp]
+    out = jnp.moveaxis(out, 0, 2).reshape(V - 1, C, Hp, Wp)[:, :, :H, :W]
+    costs = jnp.concatenate(
+        [jnp.full((1,) + out.shape[1:], cost_pad, jnp.float32), out]
+    )
+    shape = (V,) + (1,) * (costs.ndim - 1)
+    costs = jnp.where(ctx.src_valid.reshape(shape), costs, cost_pad)
+    return costs[:, 0] if squeeze else costs
+
+
+def _cost_vector_volume_spaced(ctx, plane, radius, increment):
+    from apdmvs_tpu.ops import ncc_volume
+
+    vs = ctx.volumes
+    nsl = vs.num_slices
+
+    def per_view(vloc, v, planes_l):
+        if vloc.R is not None:
+            return ncc_volume.ncc_rebased_cost_view(
+                vloc.R[v], vloc.base_k, vloc.E[v], vloc.ref_pad, planes_l,
+                vloc.consts[v], nsl, radius=radius, increment=increment,
+            )
+        return ncc_volume.ncc_volume_cost_view(
+            vloc.E[v], vloc.ref_pad, planes_l, vloc.consts[v], nsl,
+            radius=radius, increment=increment,
+        )
+
+    return _spaced_grid_call(ctx, plane, per_view)
+
+
+def _cost_vector_full_spaced(ctx, plane, radius, increment):
+    from apdmvs_tpu.ops import ncc_volume
+
+    vs = ctx.volumes
+    nsl = vs.num_slices
+
+    def per_view(vloc, v, planes_l):
+        return ncc_volume.ncc_volume_cost_view_fullk(
+            vloc.E[v], vloc.ref_pad, planes_l, vloc.consts[v], nsl,
+            radius=radius, increment=increment,
+        )
+
+    return _spaced_grid_call(ctx, plane, per_view)
+
+
+def _geom_cost_vector_volume_spaced(ctx, plane):
+    from apdmvs_tpu.ops import ncc_volume
+
+    vs = ctx.volumes
+    nsl = vs.num_slices
+
+    def per_view(vloc, v, planes_l):
+        # geom slabs are unpadded spatially: slice the padded plane slab
+        return ncc_volume.geom_volume_cost_view(
+            vloc.D[v],
+            planes_l,
+            vloc.geom_consts[v], nsl,
+        )
+
+    return _spaced_grid_call(ctx, plane, per_view, cost_pad=GEOM_COST_MAX)
+
+
+def rebase_volume_set_spaced(vs: VolumeSet, cams: Cameras, depth: jax.Array) -> VolumeSet:
+    """Spaced variant of :func:`rebase_volume_set`: each shard rebases its
+    own slab on its slab of the base map (the depth field is tiny, so the
+    padded global base is computed replicated and sliced per shard)."""
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    from apdmvs_tpu.ops import ncc_volume
+    from apdmvs_tpu.parallel import spaced as spmod
+
+    if jax.default_backend() == "cpu":
+        # spaced CPU slab calls route through the XLA mirrors; R is unused
+        return vs
+    mesh = spmod.space_mesh()
+    S, V, Hs, Wp, Hp = _space_geom(vs)
+    u_min, du = vs.u_grid
+    K = vs.num_slices
+    H, W = depth.shape
+    PAD_Y, PAD_X = ncc_volume.PAD_Y, ncc_volume.PAD_X
+    valid = depth > 0.0
+    k = (1.0 / jnp.where(valid, depth, 1.0) - u_min) / du
+    k = jnp.where(valid, jnp.clip(k, 0.0, K - 1.0), K / 2.0)
+    base_g = jnp.pad(
+        k, ((PAD_Y, Hp - H + PAD_Y), (PAD_X, Wp - W + PAD_X)), mode="edge"
+    )
+
+    vs_specs = jax.tree.map(lambda _: P("space"), vs)
+
+    @_ft.partial(
+        jax.shard_map, mesh=mesh, in_specs=(vs_specs, P()),
+        out_specs=(P("space"), P("space")), check_vma=False,
+    )
+    def body(vs_l, base_g_):
+        s = jax.lax.axis_index("space")
+        slab = jax.lax.dynamic_slice(
+            base_g_, ((s * Hs).astype(jnp.int32), 0),
+            (Hs + 2 * PAD_Y, Wp + 2 * PAD_X),
+        )
+        Rs = [jnp.zeros((ncc_volume.J2_REBASE,) + vs_l.E.shape[3:], vs_l.E.dtype)]
+        bf = None
+        for v in range(1, V):
+            Rv, bf = ncc_volume.build_rebased_view(vs_l.E[0, v], slab, K)
+            Rs.append(Rv)
+        return jnp.stack(Rs)[None], bf[None]
+
+    R, bf = body(vs, base_g)
+    return vs._replace(R=R, base_k=bf)

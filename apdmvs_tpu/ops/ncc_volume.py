@@ -78,13 +78,16 @@ _RB_CAND_GROUP = 3  # rebased-L1 candidate group (round 4: the all-shared
 COST_MAX = 2.0
 MIN_VAR = 1e-5
 
-# consts vector layout (one (1, 20) f32 SMEM block):
-# [fx, fy, cx, cy, u_min, du, M00..M22 (9), b0, b1, b2, src_w, src_h]
-_NCONST = 20
+# consts vector layout (one (1, 21) f32 SMEM block):
+# [fx, fy, cx, cy, u_min, du, M00..M22 (9), b0, b1, b2, src_w, src_h, row0]
+# row0 = first owned pixel row of a space shard's slab (0 unsharded): the
+# kernels add it to their tile-local row iota so pixel directions and
+# warps stay GLOBAL when operating on a row slab.
+_NCONST = 21
 
 
 def pack_consts(K0: jax.Array, M: jax.Array, b: jax.Array, u_min, du,
-                src_w: int, src_h: int) -> jax.Array:
+                src_w: int, src_h: int, row0=0) -> jax.Array:
     return jnp.concatenate(
         [
             jnp.stack([K0[0, 0], K0[1, 1], K0[0, 2], K0[1, 2]]),
@@ -92,6 +95,7 @@ def pack_consts(K0: jax.Array, M: jax.Array, b: jax.Array, u_min, du,
             M.reshape(-1).astype(jnp.float32),
             b.reshape(-1).astype(jnp.float32),
             jnp.asarray([src_w, src_h], jnp.float32),
+            jnp.asarray(row0, jnp.float32).reshape(1),
         ]
     ).reshape(1, _NCONST).astype(jnp.float32)
 
@@ -152,7 +156,7 @@ def _plane_fields(consts_ref, planes_ref, c, dirx, diry):
 def _tile_grids(consts_ref, i, j, th):
     ys = (
         jax.lax.broadcasted_iota(jnp.int32, (th, TILE_W), 0) + i * th
-    ).astype(jnp.float32)
+    ).astype(jnp.float32) + consts_ref[0, 20]  # + slab row0 (global rows)
     xs = (
         jax.lax.broadcasted_iota(jnp.int32, (th, TILE_W), 1) + j * TILE_W
     ).astype(jnp.float32)
@@ -997,15 +1001,15 @@ def ncc_volume_cost_view_fullk(
 # Geometric-consistency cost over depth volumes
 # ---------------------------------------------------------------------------
 
-# geom consts layout (one (1, 32) f32 SMEM block):
-# [fx, fy, cx, cy, u_min, du, M(9), b(3), A(9), t'(3), src_w, src_h, 0]
-_NGEOM = 32
+# geom consts layout (one (1, 33) f32 SMEM block):
+# [fx, fy, cx, cy, u_min, du, M(9), b(3), A(9), t'(3), src_w, src_h, row0]
+_NGEOM = 33
 GEOM_COST_MAX = 3.0
 
 
 def pack_geom_consts(
     K0: jax.Array, M: jax.Array, b: jax.Array, A: jax.Array, t2: jax.Array,
-    u_min, du, src_w: int, src_h: int
+    u_min, du, src_w: int, src_h: int, row0=0
 ) -> jax.Array:
     """A = K_ref R_ref R_src^T K_src^{-1}; t2 = K_ref R_ref (c_src - c_ref):
     closed-form reprojection of (src pixel, src depth) back into the ref
@@ -1019,6 +1023,7 @@ def pack_geom_consts(
             A.reshape(-1).astype(jnp.float32),
             t2.reshape(-1).astype(jnp.float32),
             jnp.asarray([src_w, src_h], jnp.float32),
+            jnp.asarray(row0, jnp.float32).reshape(1),
         ]
     ).reshape(1, _NGEOM).astype(jnp.float32)
 
@@ -1051,10 +1056,11 @@ def _geom_kernel(
     t0, t1, t2 = consts_ref[0, 27], consts_ref[0, 28], consts_ref[0, 29]
     src_w = consts_ref[0, 30]
     src_h = consts_ref[0, 31]
+    row0 = consts_ref[0, 32]
 
     ys = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + i * TILE_H
-    ).astype(jnp.float32)
+    ).astype(jnp.float32) + row0
     xs = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + j * TILE_W
     ).astype(jnp.float32)
@@ -1125,6 +1131,7 @@ def geom_volume_cost_view_ref(
         jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
+    ys = ys + consts[0, 32]
     dirx = (xs - cx) / fx
     diry = (ys - cy) / fy
     out = []
@@ -1225,8 +1232,10 @@ def ncc_volume_cost_view_ref(
     M = consts[0, 6:15].reshape(3, 3)
     b = consts[0, 15:18]
     src_w, src_h = consts[0, 18], consts[0, 19]
+    row0 = consts[0, 20]
     ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    ys = ys + row0
     offsets = jnp.asarray(_offsets(radius, increment), jnp.int32)  # [S, 2]
     S = float(offsets.shape[0])
     n = planes[:, :3]  # [C, 3, H, W]

@@ -93,14 +93,18 @@ def build_volume_padded(
     pad_x: int,
     dtype=jnp.bfloat16,
     trunc: bool = False,
+    row0=0,
 ) -> jax.Array:
     """Volume over the spatially padded ref pixel grid
-    ([-pad_y, H+pad_y) x [-pad_x, W+pad_x)) so kernel halo samples are
-    exact warps rather than border clamps. Returns
-    [K, H+2*pad_y, W+2*pad_x]."""
+    ([row0-pad_y, row0+H+pad_y) x [-pad_x, W+pad_x)) so kernel halo
+    samples are exact warps rather than border clamps. ``row0`` (may be a
+    traced scalar) offsets the pixel rows — a space shard builds its own
+    haloed row slab of the global volume by passing its first owned row.
+    Returns [K, H+2*pad_y, W+2*pad_x]."""
     y = (
         jax.lax.broadcasted_iota(jnp.float32, (height + 2 * pad_y, width + 2 * pad_x), 0)
         - pad_y
+        + row0
     )
     x = (
         jax.lax.broadcasted_iota(jnp.float32, (height + 2 * pad_y, width + 2 * pad_x), 1)
@@ -147,12 +151,13 @@ def _build_kernel(
     pad_x = grid_ref[0, 3]
     src_w = grid_ref[0, 4]
     src_h = grid_ref[0, 5]
+    row0 = grid_ref[0, 6]  # first owned row (space-shard slab offset)
     u = u_min + k.astype(jnp.float32) * du
 
     # tile pixel coords in ref (padded-grid offsets removed)
     ys = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) + ti * 8).astype(
         jnp.float32
-    ) - pad_y
+    ) - pad_y + row0
     xs = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) + tj * 128).astype(
         jnp.float32
     ) - pad_x
@@ -171,7 +176,7 @@ def _build_kernel(
 
     # window origin from the tile's corner warps (pure scalar math)
     x00 = (tj * 128).astype(jnp.float32) - pad_x
-    y00 = (ti * 8).astype(jnp.float32) - pad_y
+    y00 = (ti * 8).astype(jnp.float32) - pad_y + row0
     cxs = []
     cys = []
     for (cx_, cy_) in ((0.0, 0.0), (127.0, 0.0), (0.0, 7.0), (127.0, 7.0)):
@@ -272,8 +277,11 @@ def build_volume_pallas(
     dtype=jnp.bfloat16,
     trunc: bool = False,
     interpret: bool | None = None,
+    row0=0,
 ) -> jax.Array:
     """Pallas volume builder: [K, H+2*pad_y, W+2*pad_x] in ``dtype``.
+    ``row0`` (static or traced scalar) offsets the pixel rows so a space
+    shard can build its haloed row slab of the global volume.
 
     Equivalent to :func:`build_volume_padded` (border-clamped bilinear of
     the global slice homography) but ~3 orders faster than XLA's gather
@@ -292,7 +300,7 @@ def build_volume_pallas(
             # equivalence tests only).
             return build_volume_padded(
                 src_image, M, b, K0, height, width, u_min, du, num_slices,
-                pad_y=pad_y, pad_x=pad_x, dtype=dtype, trunc=trunc,
+                pad_y=pad_y, pad_x=pad_x, dtype=dtype, trunc=trunc, row0=row0,
             )
         interpret = False
     PH = height + 2 * pad_y
@@ -311,16 +319,17 @@ def build_volume_pallas(
     # absorb K_ref^-1 into M so the kernel warps pixel coords directly
     M_eff = geometry.mat3_mat3(M, geometry.k_inverse_zero_skew(K0))
     consts = jnp.concatenate([M_eff.reshape(-1), b.reshape(-1)]).reshape(1, 12).astype(jnp.float32)
-    grid_c = jnp.asarray(
-        [[u_min, du, pad_y, pad_x, SW, SH]], jnp.float32
-    )
+    grid_c = jnp.stack(
+        [jnp.asarray(v, jnp.float32) for v in
+         (u_min, du, pad_y, pad_x, SW, SH, row0)]
+    ).reshape(1, 7)
     return pl.pallas_call(
         functools.partial(_build_kernel, trunc=trunc),
         out_shape=jax.ShapeDtypeStruct((num_slices, PH, PW), dtype),
         grid=(num_slices, PH // 8, PW // 128),
         in_specs=[
             pl.BlockSpec((1, 12), lambda k, i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 6), lambda k, i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 7), lambda k, i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(

@@ -270,6 +270,54 @@ def _volume_batched_pass(
       all_depths, src_index, prebuilt)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "weak_capacity", "use_geom", "num_slices", "mesh"),
+)
+def _spaced_volume_batched_pass(
+    images: jax.Array,  # [N, V, H, W]
+    cams: Cameras,
+    src_valid: jax.Array,
+    prior: pipeline.PassState,
+    keys: jax.Array,
+    ransac_threshold: jax.Array,
+    all_depths: jax.Array,
+    src_index: jax.Array,
+    cfg: PassConfig,
+    weak_capacity: int,
+    use_geom: bool,
+    num_slices: int,
+    mesh: Mesh,
+) -> pipeline.PassOutputs:
+    """Volume fast path on a SPACE-sharded mesh (n_view == 1): problems run
+    sequentially (lax.scan), each problem's volumes built and evaluated as
+    per-shard haloed row slabs (ncc.build_volume_set_spaced; the shard_map
+    kernel islands live inside this jit). This is the big-single-image
+    regime — one view's volumes split across chips (the reference's
+    arbitrary-image-size-per-GPU capability, APD.cpp:596-602)."""
+    from apdmvs_tpu import ncc
+
+    def body(carry, xs):
+        images_i, cams_i, valid_i, prior_i, key_i, rth_i, srcidx_i = xs
+        dm_i = jnp.take(all_depths, srcidx_i, axis=0) if use_geom else None
+        vols = ncc.build_volume_set_spaced(
+            images_i, cams_i, cams_i.depth_min[0], cams_i.depth_max[0], mesh,
+            num_slices=num_slices, depth_maps=dm_i,
+            weak_cost_volumes=cfg.use_APD,
+        )
+        out = pipeline.patchmatch_pass_impl(
+            images_i, cams_i, valid_i, prior_i, key_i, cfg, rth_i,
+            depth_maps=dm_i, weak_capacity=weak_capacity, volumes=vols,
+        )
+        return carry, out
+
+    _, outs = jax.lax.scan(
+        body, 0,
+        (images, cams, src_valid, prior, keys, ransac_threshold, src_index),
+    )
+    return outs
+
+
 def sharded_batch_pass(
     mesh: Mesh,
     images: jax.Array,
@@ -305,11 +353,18 @@ def sharded_batch_pass(
     img_s, cams_s, prior_s, out_s = _batch_specs(mesh)
     use_geom = all_depths is not None
     N, V, H, W = images.shape
-    if use_volumes and mesh.shape["space"] != 1:
+    spaced_vols = use_volumes and mesh.shape["space"] != 1
+    if spaced_vols and mesh.shape["view"] != 1:
         raise ValueError(
-            "use_volumes=True requires a view-only mesh (n_space == 1); "
-            "plane-sweep volumes cover the full image"
+            "use_volumes with a space axis requires n_view == 1 (the "
+            "big-single-image regime runs problems sequentially with "
+            "space-sharded volume slabs); use n_space == 1 for the "
+            "many-problems regime"
         )
+    if spaced_vols:
+        from apdmvs_tpu.parallel import spaced as spmod
+
+        spmod.set_space_mesh(mesh)
 
     def put(x, spec):
         return put_sharded(mesh, x, spec)
@@ -336,6 +391,12 @@ def sharded_batch_pass(
         src_index = put(jnp.zeros((N, V), jnp.int32), P("view", None))
 
     with mesh:
+        if spaced_vols:
+            return _spaced_volume_batched_pass(
+                images, cams, src_valid, prior, keys, ransac_threshold,
+                all_depths, src_index, cfg, weak_capacity, use_geom,
+                num_slices, mesh,
+            )
         if use_volumes:
             return _volume_batched_pass(
                 images, cams, src_valid, prior, keys, ransac_threshold,

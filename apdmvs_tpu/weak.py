@@ -205,6 +205,79 @@ class WeakCols(NamedTuple):
     d: Optional[jax.Array]
 
 
+def _build_weak_cols_spaced(
+    ctx: CostContext, weak_xy: jax.Array, anchors: AnchorData
+) -> WeakCols:
+    """Spaced-volume cols: each space shard gathers the columns of the
+    positions IT OWNS from its local slab tables, zeroes the rest, and a
+    psum over 'space' assembles the full (replicated) column set — the
+    distributed form of the per-pass worklist gather (no position is owned
+    twice, so the sum is exact; slab halo rows are never owned and their
+    clamped cost-volume sums are never read)."""
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    from apdmvs_tpu.ops import cols as colsmod, ncc_volume
+    from apdmvs_tpu.parallel import spaced as spmod
+
+    vs = ctx.volumes
+    mesh = spmod.space_mesh()
+    V = vs.E.shape[1]
+    Vs = V - 1
+    K = vs.num_slices
+    hs = vs.C36.shape[-2]  # Hs + 2*PAD_Y
+    PWp = vs.C36.shape[-1]
+    Hs = hs - 2 * ncc_volume.PAD_Y
+    N = weak_xy.shape[0]
+    a = anchors.coords[:, 1:]  # [N, 8, 2]
+
+    def local_gather(table_vol, xs, ys, pad_y, pad_x, hs_, ww, s):
+        row0 = s * Hs
+        owned = (ys >= row0) & (ys < row0 + Hs) & (xs >= 0)
+        xi = jnp.clip(xs + pad_x, 0, ww - 1)
+        yi = jnp.clip(ys - row0 + pad_y, 0, hs_ - 1)
+        idx = (yi * ww + xi).reshape(-1).astype(jnp.int32)
+        rows = colsmod.gather_rows(colsmod.pack_volume_rows(table_vol), idx)
+        return jnp.where(owned.reshape(-1)[:, None], rows, 0)
+
+    vs_specs = jax.tree.map(lambda _: P("space"), vs)
+
+    @_ft.partial(
+        jax.shard_map, mesh=mesh, in_specs=(vs_specs, P(), P()),
+        out_specs=(P(), P(), P() if vs.D is not None else None),
+        check_vma=False,
+    )
+    def body(vs_l, wxy, a_):
+        s = jax.lax.axis_index("space")
+        vloc = jax.tree.map(lambda x: x[0], vs_l)
+        c36 = local_gather(
+            vloc.C36, wxy[..., 0], wxy[..., 1],
+            ncc_volume.PAD_Y, ncc_volume.PAD_X, hs, PWp, s,
+        )
+        c36 = jax.lax.psum(c36, "space")
+        c9 = local_gather(
+            vloc.C9, a_[..., 0], a_[..., 1],
+            ncc_volume.PAD_Y, ncc_volume.PAD_X, hs, PWp, s,
+        )
+        c9 = jax.lax.psum(c9, "space")
+        d = None
+        if vloc.D is not None:
+            Wd = vloc.D.shape[-1]
+            d = local_gather(
+                vloc.D, wxy[..., 0], wxy[..., 1], 0, 0, Hs, Wd, s
+            )
+            d = jax.lax.psum(d, "space")
+        return c36, c9, d
+
+    c36, c9, d = body(vs, weak_xy, a)
+    c36 = jnp.moveaxis(c36.reshape(N, Vs, K), 1, 0)
+    c9 = jnp.moveaxis(c9.reshape(N, _NUM_ANCHORS, Vs, K), 2, 0)
+    if d is not None:
+        d = jnp.moveaxis(d.reshape(N, Vs, K), 1, 0).astype(jnp.float32)
+    return WeakCols(c36=c36, c9=c9, d=d)
+
+
 def build_weak_cols(
     ctx: CostContext, weak_xy: jax.Array, anchors: AnchorData
 ) -> WeakCols:
@@ -212,6 +285,8 @@ def build_weak_cols(
     from apdmvs_tpu.ops import cols as colsmod, ncc_volume
 
     vs = ctx.volumes
+    if vs.spaced:
+        return _build_weak_cols_spaced(ctx, weak_xy, anchors)
     V, K = vs.C36.shape[0], vs.C36.shape[1]
     Vs = V - 1
     PH, PW = vs.C36.shape[2], vs.C36.shape[3]
@@ -666,7 +741,7 @@ def _warp_oob_batched(
     inverse depths (plane-dependent). Returns [B, Vs, *pos] bool.
     Same math as ncc.point_warp_oob (texture-bounds policy, APD.cu:546-556).
     """
-    cons = ctx.volumes.consts[1:, 0]  # [Vs, 20]
+    cons = ncc.view_consts(ctx.volumes)[1:]  # [Vs, NC]
     b = cons[:, 15:18]
     src_w = cons[:, 18]
     src_h = cons[:, 19]
@@ -712,7 +787,7 @@ def _deformed_cost_vector_cols(
     a = anchors.coords[:, 1:]  # [N, 8, 2]
     valid = a[..., 0] >= 0
 
-    cons = vs.consts[1:, 0]  # [Vs, 20]
+    cons = ncc.view_consts(vs)[1:]  # [Vs, NC]
     M = cons[:, 6:15].reshape(-1, 3, 3)
 
     # ---- center term ----
@@ -776,7 +851,7 @@ def _geom_cost_vector_cols(
     wy = weak_xy[..., 1].astype(jnp.float32)
     dirs_c = geometry.pixel_dirs(ctx.cams.K[0], wx, wy)  # [N, 3]
 
-    g = vs.geom_consts[1:, 0]  # [Vs, _NGEOM]
+    g = ncc.view_geom_consts(vs)[1:]  # [Vs, _NGEOM]
     M = g[:, 6:15].reshape(-1, 3, 3)
     b = g[:, 15:18]
     A = g[:, 18:27].reshape(-1, 3, 3)
