@@ -8,7 +8,7 @@ fused clouds, and reports F-scores + per-pass wall-clock — the first
 realistically-sized perf/quality data point (round-3 VERDICT next-round
 item 2). Results go to BASELINE.md.
 
-Usage: python scripts/highres_scene.py [--width 1152 --height 864
+Usage: python scripts/highres_scene.py [--width 1104 --height 828
        --views 4] [--runner seq|batched|both] [--out DIR]
 """
 
@@ -26,8 +26,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--width", type=int, default=1152)
-    ap.add_argument("--height", type=int, default=864)
+    ap.add_argument("--width", type=int, default=1104)
+    ap.add_argument("--height", type=int, default=828)
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--runner", choices=["seq", "batched", "both"], default="both")
     ap.add_argument("--out", default="/tmp/apd_highres")
