@@ -93,18 +93,21 @@ def checkerboard_candidates(
     y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cand_x, cand_y, flags = [], [], []
     for offs in _REGIONS:
-        shifted = jnp.stack(
-            [sampling.shift2d(costs, int(dx), int(dy), INF) for dx, dy in offs]
-        )  # [C, H, W]
-        idx = jnp.argmin(shifted, axis=0)  # [H, W]
-        # tiny-table lookups as select loops (cheaper than TPU gather)
-        dx_sel = jnp.zeros_like(idx)
-        dy_sel = jnp.zeros_like(idx)
-        for o, (dx0, dy0) in enumerate(offs):
-            dx_sel = jnp.where(idx == o, int(dx0), dx_sel)
-            dy_sel = jnp.where(idx == o, int(dy0), dy_sel)
-        cand_x.append(x + dx_sel)
-        cand_y.append(y + dy_sel)
+        # running strict-< min keeps the FIRST minimum — same tie-breaking
+        # as argmin over the stacked strips, without materializing the
+        # [C, H, W] stack or the index-select loops (half-sweep glue is a
+        # measured pass cost, round-4 PERF_NOTES)
+        best = jnp.full((H, W), INF, costs.dtype)
+        bdx = jnp.zeros((H, W), jnp.int32)
+        bdy = jnp.zeros((H, W), jnp.int32)
+        for dx, dy in offs:
+            c = sampling.shift2d(costs, int(dx), int(dy), INF)
+            better = c < best
+            best = jnp.where(better, c, best)
+            bdx = jnp.where(better, int(dx), bdx)
+            bdy = jnp.where(better, int(dy), bdy)
+        cand_x.append(x + bdx)
+        cand_y.append(y + bdy)
         bx, by = int(offs[0, 0]), int(offs[0, 1])
         flags.append(
             ((x + bx) >= 0) & ((x + bx) < W) & ((y + by) >= 0) & ((y + by) < H)
@@ -164,14 +167,16 @@ def joint_view_selection(
     cdf = cum / jnp.maximum(total, 1e-30)  # total==0 -> cdf ~ 0 -> no draws hit
     cdf = jnp.where(total[None] > 0.0, cdf, 0.0)
 
-    def draw(carry, k):
-        below = carry
-        u = jax.random.uniform(k, total.shape) - jnp.finfo(jnp.float32).eps
-        below = below + (cdf > u[None]).astype(jnp.float32)
-        return below, None
-
+    # all draws in one batched reduce (a lax.scan here costs 15 sequential
+    # tiny-step iterations of XLA glue per half-sweep; same keys and
+    # uniforms as the scan form, so numerically identical)
     keys = jax.random.split(key, num_samples)
-    below, _ = jax.lax.scan(draw, jnp.zeros_like(cdf), keys)
+    u = jax.vmap(lambda k: jax.random.uniform(k, total.shape))(keys) - (
+        jnp.finfo(jnp.float32).eps
+    )  # [S, ...]
+    below = jnp.sum(
+        (cdf[:, None] > u[None]).astype(jnp.float32), axis=1
+    )  # [V, ...]
     # weights[v] = #draws landing in bin v = below[v] - below[v-1]
     weights = below - jnp.concatenate([jnp.zeros_like(below[:1]), below[:-1]], axis=0)
     weight_norm = jnp.sum(weights, axis=0)
