@@ -960,6 +960,7 @@ def run_scene(
     verbose: bool = True,
     debug_dumps: bool = False,
     profile_dir: Optional[str] = None,
+    num_slices: int = 160,
 ) -> str:
     """Full reconstruction: the reference `main()` (main.cpp:140-233).
 
@@ -1011,7 +1012,7 @@ def run_scene(
             stats = process_problem(
                 cache, problem, spec, full_size, key,
                 num_views_pad=V_pad, show_medium_result=show_medium_result,
-                use_volumes=use_volumes,
+                use_volumes=use_volumes, num_slices=num_slices,
                 allow_missing_prior=allow_missing_prior,
                 debug_dumps=debug_dumps,
             )

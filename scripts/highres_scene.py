@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--runner", choices=["seq", "batched", "both"], default="both")
     ap.add_argument("--out", default="/tmp/apd_highres")
+    ap.add_argument("--num-slices", type=int, default=128,
+                    help="slice count; 128 keeps the >=1100 px volume set "
+                    "inside one chip's HBM (160 OOMs at 1104x828x4v)")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -61,9 +64,11 @@ def main():
         synthetic.write_mvsnet_dataset(folder, cams, prims, images=imgs_in)
         t0 = time.time()
         if runner == "seq":
-            ply = scene.run_scene(folder, seed=0, verbose=True)
+            ply = scene.run_scene(folder, seed=0, verbose=True,
+                                  num_slices=args.num_slices)
         else:
-            ply = scene.run_scene_batched(folder, seed=0, verbose=True)
+            ply = scene.run_scene_batched(folder, seed=0, verbose=True,
+                                          num_slices=args.num_slices)
         wall = time.time() - t0
         coords, _ = formats.read_point_cloud(ply)
         m = eval_mod.cloud_metrics(coords, gt, thresholds=(0.05,))[0.05]
