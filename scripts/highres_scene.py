@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--num-slices", type=int, default=128,
                     help="slice count; 128 keeps the >=1100 px volume set "
                     "inside one chip's HBM (160 OOMs at 1104x828x4v)")
+    ap.add_argument("--cache-gb", type=float, default=0.0,
+                    help="sequential volume-cache budget. 0 at this size: "
+                    "pinning one problem's 3.7 GB set while another's "
+                    "uncached set is live OOMs the geom passes on one "
+                    "16 GB chip -- the multi-chip answer is the spaced "
+                    "row-slab path (parallel/spaced.py)")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -65,7 +71,8 @@ def main():
         t0 = time.time()
         if runner == "seq":
             ply = scene.run_scene(folder, seed=0, verbose=True,
-                                  num_slices=args.num_slices)
+                                  num_slices=args.num_slices,
+                                  volume_cache_gb=args.cache_gb)
         else:
             ply = scene.run_scene_batched(folder, seed=0, verbose=True,
                                           num_slices=args.num_slices)
