@@ -157,6 +157,13 @@ class SceneCache:
         self._volumes_width: Optional[int] = None
         self._volumes_bytes: int = 0
         self.volume_stats = {"hits": 0, "misses": 0, "uncached": 0}
+        # set by the runner: number of problems sharing a scale. Caching
+        # is all-or-nothing per scale — pinning SOME problems' sets while
+        # the rest rebuild uncached makes the pinned bytes co-resident
+        # with every uncached build and OOMs large scenes (round 4: a
+        # 1104x828x4v set is 3.7 GB; pinning one while building another
+        # exhausted the 16 GB chip in the geom passes).
+        self.expected_sets: Optional[int] = None
 
     def image_volumes(self, image_id: int, width: int, builder):
         """Cached per-(problem, scale) image volume set; ``builder()``
@@ -176,6 +183,14 @@ class SceneCache:
             for x in jax.tree_util.tree_leaves(vs)
             if hasattr(x, "size")
         )
+        if (
+            self.expected_sets is not None
+            and self.expected_sets * nbytes > self.volume_cache_bytes
+        ):
+            # the full scale's sets cannot all fit: cache nothing (see
+            # __init__ note)
+            self.volume_stats["uncached"] += 1
+            return vs
         if self._volumes_bytes + nbytes <= self.volume_cache_bytes:
             self._volumes[key] = vs
             self._volumes_bytes += nbytes
@@ -988,6 +1003,7 @@ def run_scene(
         dense_folder, camera_model=camera_model,
         volume_cache_bytes=volume_cache_gb * 1e9,
     )
+    cache.expected_sets = len(problems)
     V_pad = max(1 + len(p.src_image_ids) for p in problems)
     root_key = jax.random.PRNGKey(seed)
     if use_volumes is None:
