@@ -57,10 +57,19 @@ def _weighted_sweep_costs_batched(
     view_weights: jax.Array,
     weight_norm: jax.Array,
     cfg: PassConfig,
+    baseline=None,  # [H, W] mean selected baseline (enables the sweep path)
 ) -> jax.Array:
     """All S sweep depths as chunked multi-candidate evaluations — feeds
     the Pallas kernel C=8 plane batches instead of S sequential C=1 calls.
-    Returns [S, H, W]."""
+    Returns [S, H, W].
+
+    ``baseline`` (per-pixel mean selected-view baseline) routes the NCC
+    term through the sweep evaluator (ncc.sweep_cost_vector): the sweep's
+    slice index is EXACTLY linear in the disparity step
+    (k_s = k_mid + (s - mid)/(fx*B(p)*du)), so each chunk rebases on its
+    mid step's depth field and fetches narrow per-candidate bands instead
+    of paying the direct kernel's full-K fixup on ragged fields
+    (PERF_NOTES round-4 closing: that fixup was ~1/3 of the pass)."""
     S = depths.shape[0]
     S_pad = ((S + _SWEEP_CHUNK - 1) // _SWEEP_CHUNK) * _SWEEP_CHUNK
     if S_pad != S:
@@ -78,15 +87,53 @@ def _weighted_sweep_costs_batched(
     )
     wsel = jnp.where(selected, view_weights, 0.0)
 
-    def chunk_cost(pl_chunk):
-        cv = ncc.cost_vector(ctx, pl_chunk, cfg.strong_radius, cfg.strong_increment)
+    import os
+
+    use_sweep = (
+        baseline is not None
+        and ctx.volumes is not None
+        and not ctx.volumes.spaced
+        and os.environ.get("APDMVS_SWEEP", "1") == "1"
+    )
+    if use_sweep:
+        # per-candidate slice offset per disparity step (global scalar:
+        # delta(p) = 1/(fx * B(p) * du) — average over valid baselines)
+        u_min, du = ctx.volumes.u_grid
+        fx = ctx.cams.K[0][0, 0]
+        bvalid = baseline > 0.0
+        delta_bar = jnp.sum(
+            jnp.where(bvalid, 1.0 / (fx * jnp.maximum(baseline, 1e-6) * du), 0.0)
+        ) / jnp.maximum(jnp.sum(bvalid), 1.0)
+        mid = _SWEEP_CHUNK // 2
+        offs = jnp.round(
+            (jnp.arange(_SWEEP_CHUNK) - mid).astype(jnp.float32) * delta_bar
+        ).astype(jnp.int32)
+        base_chunks = depths.reshape(
+            S_pad // _SWEEP_CHUNK, _SWEEP_CHUNK, *depths.shape[1:]
+        )[:, mid]
+
+    def chunk_cost(args):
+        pl_chunk, base_mid = args
+        if use_sweep:
+            cv = ncc.sweep_cost_vector(
+                ctx, pl_chunk, base_mid, offs,
+                cfg.strong_radius, cfg.strong_increment,
+            )
+        else:
+            cv = ncc.cost_vector(
+                ctx, pl_chunk, cfg.strong_radius, cfg.strong_increment
+            )
         if cfg.geom_consistency:
             cv = cv + cfg.geom_factor * ncc.geom_cost_vector(ctx, pl_chunk)
         return jnp.sum(wsel[:, None] * cv, axis=0) / jnp.maximum(
             weight_norm[None], 1e-30
         )  # [chunk, H, W]
 
-    costs = jax.lax.map(chunk_cost, planes_chunks)
+    costs = jax.lax.map(
+        chunk_cost,
+        (planes_chunks,
+         base_chunks if use_sweep else planes_chunks[:, 0, ..., 3]),
+    )
     return costs.reshape(S_pad, *depths.shape[1:])[:S]
 
 
@@ -137,7 +184,8 @@ def depth_to_weak(
         p_depths <= ctx.cams.depth_max[0]
     )
     raw = _weighted_sweep_costs_batched(
-        ctx, n_cam, p_depths, selected, view_weights, weight_norm, cfg
+        ctx, n_cam, p_depths, selected, view_weights, weight_norm, cfg,
+        baseline=baseline,
     )
     p_costs = jnp.where(in_range, jnp.minimum(COST_MAX, raw), COST_MAX)  # [61, H, W]
 
@@ -210,7 +258,8 @@ def local_refine(
         p_depths <= ctx.cams.depth_max[0]
     )
     raw = _weighted_sweep_costs_batched(
-        ctx, n_cam, p_depths, selected, view_weights, weight_norm, cfg
+        ctx, n_cam, p_depths, selected, view_weights, weight_norm, cfg,
+        baseline=baseline,
     )
     costs = jnp.where(in_range, raw, COST_MAX)  # [11, H, W]
     best = jnp.argmin(costs, axis=0)

@@ -1125,3 +1125,66 @@ def rebase_volume_set_spaced(vs: VolumeSet, cams: Cameras, depth: jax.Array) -> 
 
     R, bf = body(vs, base_g)
     return vs._replace(R=R, base_k=bf)
+
+
+def sweep_cost_vector(
+    ctx: CostContext,
+    plane: jax.Array,  # [C, H, W, 4] — arithmetic-sweep candidates
+    base_depth: jax.Array,  # [H, W] the chunk-mid step's depth field
+    offs: jax.Array,  # [C] i32 per-candidate band offsets (slices vs mid)
+    radius: int,
+    increment: int,
+) -> jax.Array:
+    """Grid-mode NCC for the classify disparity sweeps: rebase on the
+    chunk-mid step's slice map and fetch each candidate at its arithmetic
+    band offset (ops/ncc_volume.py "Sweep evaluator" rationale — the
+    direct kernel's per-tile shared band blows up on ragged fields and
+    pays the full-K fixup on ~every call; measured ~1/3 of the pass).
+    Exact: escapes take the same L2 fixup. Falls back to
+    :func:`cost_vector` without (unsharded) volumes or on CPU."""
+    from apdmvs_tpu.ops import ncc_volume
+
+    vs = ctx.volumes
+    if vs is None or vs.spaced or jax.default_backend() == "cpu":
+        return cost_vector(ctx, plane, radius, increment)
+    H, W = ctx.height, ctx.width
+    PH, PW = vs.ref_pad.shape
+    Hp = PH - 2 * ncc_volume.PAD_Y
+    Wp = PW - 2 * ncc_volume.PAD_X
+    K = vs.num_slices
+    u_min, du = vs.u_grid
+
+    valid = base_depth > 0.0
+    k = (1.0 / jnp.where(valid, base_depth, 1.0) - u_min) / du
+    k = jnp.where(valid, jnp.clip(k, 0.0, K - 1.0), K / 2.0)
+    base_k = jnp.pad(
+        k, ((ncc_volume.PAD_Y, PH - H - ncc_volume.PAD_Y),
+            (ncc_volume.PAD_X, PW - W - ncc_volume.PAD_X)),
+        mode="edge",
+    )
+
+    C = plane.shape[0]
+    planes_cf = jnp.moveaxis(plane, -1, 1)
+    if (Hp, Wp) != (H, W):
+        pad1 = jnp.zeros((C, 4, Hp - H, W), planes_cf.dtype).at[:, 2].set(-1.0).at[:, 3].set(1.0)
+        planes_cf = jnp.concatenate([planes_cf, pad1], axis=2)
+        pad2 = jnp.zeros((C, 4, Hp, Wp - W), planes_cf.dtype).at[:, 2].set(-1.0).at[:, 3].set(1.0)
+        planes_cf = jnp.concatenate([planes_cf, pad2], axis=3)
+
+    V = ctx.num_views
+    outs = []
+    for v in range(1, V):
+        Rv, bf = ncc_volume.build_rebased_view(
+            vs.E[v], base_k, K, j2=ncc_volume.SWEEP_J2
+        )
+        outs.append(
+            ncc_volume.ncc_rebased_sweep_cost_view(
+                Rv, bf, vs.E[v], vs.ref_pad, planes_cf, vs.consts[v], offs,
+                K, radius=radius, increment=increment,
+            )[:, :H, :W]
+        )
+    costs = jnp.concatenate(
+        [jnp.full((1,) + outs[0].shape, COST_MAX, jnp.float32), jnp.stack(outs)]
+    )
+    shape = (V,) + (1,) * (costs.ndim - 1)
+    return jnp.where(ctx.src_valid.reshape(shape), costs, COST_MAX)

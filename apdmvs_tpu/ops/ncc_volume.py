@@ -1289,3 +1289,207 @@ def ncc_volume_cost_view_ref(
     qz = M[2, 0] * dirx + M[2, 1] * diry + M[2, 2] + b[2] * u_c
     oob = (qx / qz < 0) | (qx / qz >= src_w) | (qy / qz < 0) | (qy / qz >= src_h)
     return jnp.where(oob, COST_MAX, cost)
+
+
+# ---------------------------------------------------------------------------
+# Sweep evaluator: rebased L1 with per-candidate band offsets
+# ---------------------------------------------------------------------------
+#
+# The DepthToWeak / LocalRefine disparity sweeps (classify.py) evaluate S
+# candidates that share the pixel's normal and differ by an ARITHMETIC
+# inverse-depth step: k_s(p) = k_mid(p) + (s - mid) * delta(p). On ragged
+# post-propagation fields the direct kernel's per-tile shared band blows
+# up (depth edges inflate the tile k-spread) and the L2 full-K fixup fires
+# on essentially every call — measured ~1/3 of the whole pass (PERF_NOTES
+# round-4 closing). Rebasing on the MID step's slice map absorbs the
+# field's slopes and edges exactly as the propagation rebase does, and
+# each candidate's residual index is ~(s - mid) * delta(p): a narrow band
+# at a PER-CANDIDATE offset round((s - mid) * delta_bar). Pixels whose
+# delta deviates from delta_bar (selected-view baselines vary) or whose
+# offset clips escape to the same exact L2 fixup.
+
+SWEEP_J2 = 49  # rebase window for the sweep (covers |s-mid|*delta <= 24)
+
+
+def _kernel_rb_offs(
+    consts_ref,  # SMEM [1, NCONST]
+    offs_ref,  # SMEM [1, C] i32 per-candidate band offsets (vs J)
+    planes_ref,  # VMEM [C, 4, TH, TILE_W]
+    r_hbm,  # ANY [J2, PH, PW] rebased volume (mid-step base)
+    bf_hbm,  # ANY [PH, PW] f32 clipped base map
+    ref_hbm,  # ANY [PH, PW] f32
+    cost_ref,  # VMEM out [C, TH, TILE_W] (-1 = needs exact fixup)
+    flag_ref,  # SMEM out [Ty, Tx] i32
+    r_win,  # scratch VMEM [J2, TH + 2*PAD_Y, 3*TILE_W]
+    bf_win,  # scratch VMEM [TH + 2*PAD_Y, 3*TILE_W] f32
+    ref_tile,  # scratch VMEM [TH + 2*PAD_Y, 3*TILE_W] f32
+    sems,
+    *,
+    num_slices: int,
+    num_cands: int,
+    radius: int,
+    increment: int,
+    j2: int,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    th = NCC_TILE_H
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    J = (j2 - 1) // 2
+
+    def win(hbm, dst, sem):
+        return pltpu.make_async_copy(
+            hbm.at[..., pl.ds(i * th, th + 2 * PAD_Y), pl.ds(j * TILE_W, 3 * TILE_W)],
+            dst,
+            sem,
+        )
+
+    ref_dma = win(ref_hbm, ref_tile, sems.at[0])
+    bf_dma = win(bf_hbm, bf_win, sems.at[1])
+    r_dma = win(r_hbm, r_win, sems.at[2])
+    ref_dma.start()
+    bf_dma.start()
+    r_dma.start()
+
+    dirx, diry = _tile_grids(consts_ref, i, j, th)
+    offsets = _offsets(radius, increment)
+    S = float(len(offsets))
+    kmaxf = float(num_slices - 1)
+
+    ref_dma.wait()
+    s_r, s_rr = _ref_sums(ref_tile, offsets, th)
+    bf_dma.wait()
+    r_dma.wait()
+
+    need_e = jnp.asarray(False)
+    for c in range(num_cands):
+        # per-candidate dynamic band base (the direct kernel's c0 pattern,
+        # but per candidate and read from SMEM)
+        b_lo = jnp.clip(
+            offs_ref[0, c] + J - RB_BAND // 2, 0, max(j2 - RB_BAND, 0)
+        )
+        b_lof = b_lo.astype(jnp.float32)
+        u_c, k_c, kx, ky = _plane_fields(consts_ref, planes_ref, c, dirx, diry)
+        sums = [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(3)]
+        jmin = jnp.asarray(jnp.inf)
+        jmax = jnp.asarray(-jnp.inf)
+        for (dx, dy) in offsets:
+            bfs = bf_win[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
+            k = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
+            raw = k - bfs + J
+            jmin = jnp.minimum(jmin, jnp.min(raw))
+            jmax = jnp.maximum(jmax, jnp.max(raw))
+            rel = jnp.clip(raw - b_lof, 0.0, RB_BAND - 1.0)
+            r0 = jnp.floor(rel)
+            r0i = r0.astype(jnp.int32)
+            fr = rel - r0
+            acc0 = jnp.zeros((th, TILE_W), jnp.float32)
+            acc1 = jnp.zeros((th, TILE_W), jnp.float32)
+            prev = None
+            for bb in range(RB_BAND):
+                ev = r_win[
+                    b_lo + bb, PAD_Y + dy : PAD_Y + dy + th,
+                    TILE_W + dx : 2 * TILE_W + dx,
+                ].astype(jnp.float32)
+                eq = r0i == bb
+                acc0 = jnp.where(eq, ev, acc0)
+                if prev is not None:
+                    acc1 = jnp.where(prev, ev, acc1)
+                prev = eq
+            rv = ref_tile[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
+            sv = acc0 * (1.0 - fr) + acc1 * fr
+            sums[0] = sums[0] + sv
+            sums[1] = sums[1] + sv * sv
+            sums[2] = sums[2] + rv * sv
+
+        cost = _ncc_epilogue(s_r, s_rr, sums[0], sums[1], sums[2], S)
+        oob = _center_oob(consts_ref, 0, dirx, diry, u_c)
+        fits = (jmin >= b_lof) & (jmax <= b_lof + RB_BAND - 1.5)
+        need_e = need_e | ~fits
+        cost_ref[c] = jnp.where(oob, COST_MAX, jnp.where(fits, cost, -1.0))
+    flag_ref[i, j] = need_e.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_slices", "radius", "increment", "interpret"),
+)
+def ncc_rebased_sweep_cost_view(
+    R_pad: jax.Array,  # [J2, PH, PW] mid-step-rebased volume
+    bf_pad: jax.Array,  # [PH, PW] f32 clipped base map
+    E_pad: jax.Array,  # [K, PH, PW] full volume (L2 fixup source)
+    ref_pad: jax.Array,  # [PH, PW] f32
+    planes: jax.Array,  # [C, 4, H, W]
+    consts: jax.Array,  # [1, NCONST]
+    offs: jax.Array,  # [C] i32 per-candidate band offsets (vs J)
+    num_slices: int,
+    radius: int = 5,
+    increment: int = 2,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Exact sweep NCC costs [C, H, W]: rebased L1 at per-candidate band
+    offsets + the cond-gated L2 fixup (results identical to
+    :func:`ncc_volume_cost_view`; only the fetch strategy differs)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        if jax.default_backend() == "cpu":
+            return ncc_volume_cost_view_ref(
+                E_pad, ref_pad, planes, consts, num_slices,
+                radius=radius, increment=increment,
+            )
+        interpret = False
+    C = planes.shape[0]
+    H, W = planes.shape[2], planes.shape[3]
+    J2 = R_pad.shape[0]
+    assert H % NCC_TILE_H == 0 and W % TILE_W == 0
+
+    kernel = functools.partial(
+        _kernel_rb_offs,
+        num_slices=num_slices,
+        num_cands=C,
+        radius=radius,
+        increment=increment,
+        j2=J2,
+    )
+    grid = (H // NCC_TILE_H, W // TILE_W)
+    cost1, flags = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, H, W), jnp.float32),
+            jax.ShapeDtypeStruct(grid, jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _NCONST), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (C, 4, NCC_TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (C, NCC_TILE_H, TILE_W), lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(grid, lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((J2, NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), R_pad.dtype),
+            pltpu.VMEM((NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), jnp.float32),
+            pltpu.VMEM((NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(consts, offs.reshape(1, C).astype(jnp.int32), planes, R_pad, bf_pad, ref_pad)
+    return _fixup_call(
+        flags, consts, planes, cost1, E_pad, ref_pad,
+        num_slices, radius, increment, interpret,
+    )

@@ -196,3 +196,51 @@ def test_rebased_kernel_exact(setup):
         )
     )
     assert np.max(np.abs(got2 - want)) < 1e-4, np.max(np.abs(got2 - want))
+
+
+def test_sweep_kernel_exact(setup):
+    """The sweep evaluator (rebased L1 at per-candidate band offsets,
+    ops/ncc_volume "Sweep evaluator") must match the XLA mirror exactly:
+    in-band candidates through the offset bands, out-of-band ones through
+    the cond-gated L2 fixup. Candidates emulate a classify chunk: same
+    normal field, depths at arithmetic disparity steps around a mid
+    base."""
+    gc, images, depths, E, ref_pad, consts, planes_b, planes_cf, K_slices, v = setup
+    H, W = depths[0].shape
+    from apdmvs_tpu import geometry as geo
+
+    x, y = geo.pixel_grid(H, W)
+    n_cam = planes_b[0, ..., :3]
+    base_depth = jnp.asarray(np.where(depths[0] > 0, depths[0], 4.0))
+    # arithmetic disparity steps (the classify sweep structure)
+    fx = gc.K[0][0, 0]
+    B = 1.0  # synthetic baseline scalar
+    disp = fx * B / base_depth
+    steps = jnp.asarray([-3.0, -1.0, 0.0, 2.0])
+    d_s = fx * B / (disp[None] + steps[:, None, None])  # [C, H, W]
+    ws = geo.dist_to_origin(gc.K[0], x, y, d_s, n_cam[None])
+    pl_sweep = jnp.concatenate(
+        [jnp.broadcast_to(n_cam[None], d_s.shape + (3,)), ws[..., None]], -1
+    )
+    pl_cf = jnp.moveaxis(pl_sweep, -1, 1)  # [C, 4, H, W]
+
+    u_min, du = volume.inv_depth_grid(1.2, 9.6, K_slices)
+    k = jnp.clip((1.0 / base_depth - u_min) / du, 0.0, K_slices - 1.0)
+    base_k = jnp.pad(
+        k, ((ncc_volume.PAD_Y,) * 2, (ncc_volume.PAD_X,) * 2), mode="edge"
+    )
+    R, bf = ncc_volume.build_rebased_view(
+        E, base_k, K_slices, j2=ncc_volume.SWEEP_J2, interpret=True
+    )
+    delta_bar = float(jnp.mean(1.0 / (fx * B * du)))
+    offs = jnp.round(steps * delta_bar).astype(jnp.int32)
+
+    got = np.asarray(
+        ncc_volume.ncc_rebased_sweep_cost_view(
+            R, bf, E, ref_pad, pl_cf, consts, offs, K_slices, interpret=True
+        )
+    )
+    want = np.asarray(
+        ncc_volume.ncc_volume_cost_view_ref(E, ref_pad, pl_cf, consts, K_slices)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
