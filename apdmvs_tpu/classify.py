@@ -13,6 +13,7 @@ persistent Monte-Carlo view weights from propagation.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -21,6 +22,15 @@ import jax.numpy as jnp
 from apdmvs_tpu import geometry, ncc
 from apdmvs_tpu.ncc import COST_MAX, CostContext
 from apdmvs_tpu.params import PassConfig, PixelState
+
+#: Route the classification/refinement sweeps through the sweep evaluator
+#: (ncc.sweep_cost_vector). Read ONCE at import from APDMVS_SWEEP: these
+#: flags pick a code path at TRACE time and do not participate in the jit
+#: cache key, so toggling the env var mid-process would silently have no
+#: effect on already-traced programs. Experiments that need both variants
+#: in one process override the module attribute and build fresh
+#: jax.jit wrappers per variant (scripts/ab_pass.py).
+USE_SWEEP = os.environ.get("APDMVS_SWEEP", "1") == "1"
 
 _MIN_MARGIN = 6  # reference: APD.cu:1998
 _SWEEP_RADIUS = 30  # reference: APD.cu:2055
@@ -64,11 +74,10 @@ def _weighted_sweep_costs_batched(
     Returns [S, H, W].
 
     ``baseline`` (per-pixel mean selected-view baseline) routes the NCC
-    term through the sweep evaluator (ncc.sweep_cost_vector): the sweep's
-    slice index is EXACTLY linear in the disparity step
-    (k_s = k_mid + (s - mid)/(fx*B(p)*du)), so each chunk rebases on its
-    mid step's depth field and fetches narrow per-candidate bands instead
-    of paying the direct kernel's full-K fixup on ragged fields
+    term through the sweep evaluator (ncc.sweep_cost_vector): each chunk
+    rebases on its mid step's depth field, and the kernel fetches each
+    candidate through a narrow per-(tile, candidate) AUTO-CENTERED band
+    instead of paying the direct kernel's full-K fixup on ragged fields
     (PERF_NOTES round-4 closing: that fixup was ~1/3 of the pass)."""
     S = depths.shape[0]
     S_pad = ((S + _SWEEP_CHUNK - 1) // _SWEEP_CHUNK) * _SWEEP_CHUNK
@@ -87,27 +96,19 @@ def _weighted_sweep_costs_batched(
     )
     wsel = jnp.where(selected, view_weights, 0.0)
 
-    import os
-
     use_sweep = (
         baseline is not None
         and ctx.volumes is not None
         and not ctx.volumes.spaced
-        and os.environ.get("APDMVS_SWEEP", "1") == "1"
+        and USE_SWEEP
     )
     if use_sweep:
-        # per-candidate slice offset per disparity step (global scalar:
-        # delta(p) = 1/(fx * B(p) * du) — average over valid baselines)
-        u_min, du = ctx.volumes.u_grid
-        fx = ctx.cams.K[0][0, 0]
-        bvalid = baseline > 0.0
-        delta_bar = jnp.sum(
-            jnp.where(bvalid, 1.0 / (fx * jnp.maximum(baseline, 1e-6) * du), 0.0)
-        ) / jnp.maximum(jnp.sum(bvalid), 1.0)
+        # each chunk rebases on its mid step's depth field; the kernel
+        # auto-centers each candidate's fetch band per tile from the data
+        # (no per-candidate global offsets — those mis-placed the band
+        # wherever the per-pixel baseline deviated from the mean and paid
+        # the L2 fixup for it)
         mid = _SWEEP_CHUNK // 2
-        offs = jnp.round(
-            (jnp.arange(_SWEEP_CHUNK) - mid).astype(jnp.float32) * delta_bar
-        ).astype(jnp.int32)
         base_chunks = depths.reshape(
             S_pad // _SWEEP_CHUNK, _SWEEP_CHUNK, *depths.shape[1:]
         )[:, mid]
@@ -116,7 +117,7 @@ def _weighted_sweep_costs_batched(
         pl_chunk, base_mid = args
         if use_sweep:
             cv = ncc.sweep_cost_vector(
-                ctx, pl_chunk, base_mid, offs,
+                ctx, pl_chunk, base_mid,
                 cfg.strong_radius, cfg.strong_increment,
             )
         else:
@@ -129,11 +130,16 @@ def _weighted_sweep_costs_batched(
             weight_norm[None], 1e-30
         )  # [chunk, H, W]
 
-    costs = jax.lax.map(
-        chunk_cost,
-        (planes_chunks,
-         base_chunks if use_sweep else planes_chunks[:, 0, ..., 3]),
-    )
+    xs = (planes_chunks, base_chunks if use_sweep else planes_chunks[:, 0, ..., 3])
+    if os.environ.get("APDMVS_SWEEP_UNROLL"):
+        # diagnostic: unrolled chunk loop keeps every _fixup_call in the
+        # top trace scope so APDMVS_FLAG_STATS can thread stats out
+        costs = jnp.stack([
+            chunk_cost(jax.tree.map(lambda a: a[i], xs))
+            for i in range(planes_chunks.shape[0])
+        ])
+    else:
+        costs = jax.lax.map(chunk_cost, xs)
     return costs.reshape(S_pad, *depths.shape[1:])[:S]
 
 

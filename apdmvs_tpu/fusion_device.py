@@ -216,6 +216,20 @@ _fuse_eth_program = jax.jit(
 )
 
 
+@functools.lru_cache(maxsize=8)
+def _fuse_eth_program_mesh(mesh):
+    """Mesh-specialized fusion program (replicated outputs), hoisted so
+    repeated fuse_eth_device calls hit the jit cache instead of
+    recompiling a fresh wrapper per invocation."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(
+        _fuse_eth_body,
+        static_argnames=("weak_factor", "strong_factor"),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+
+
 def fuse_eth_device(
     views: Sequence, src_ids: Sequence[Sequence[int]],
     weak_factor: float = 0.45, strong_factor: float = 0.3,
@@ -262,11 +276,7 @@ def fuse_eth_device(
         masks0 = jax.device_put(masks0, rows(1))
         # replicated outputs: every process can host-read the full dense
         # emission fields (multi-host PLY export happens on process 0)
-        prog = jax.jit(
-            _fuse_eth_body,
-            static_argnames=("weak_factor", "strong_factor"),
-            out_shardings=NamedSharding(mesh, P()),
-        )
+        prog = _fuse_eth_program_mesh(mesh)
         with mesh:
             accepts, Xs, colors = prog(
                 fa, masks0, weak_factor=weak_factor, strong_factor=strong_factor

@@ -1067,7 +1067,8 @@ def _geom_cost_vector_volume_spaced(ctx, plane):
     nsl = vs.num_slices
 
     def per_view(vloc, v, planes_l):
-        # geom slabs are unpadded spatially: slice the padded plane slab
+        # geom depth slabs and planes_l share the unpadded (Hs, Wp) kernel
+        # grid, so the plane slab feeds the kernel as-is (no slicing)
         return ncc_volume.geom_volume_cost_view(
             vloc.D[v],
             planes_l,
@@ -1131,17 +1132,16 @@ def sweep_cost_vector(
     ctx: CostContext,
     plane: jax.Array,  # [C, H, W, 4] — arithmetic-sweep candidates
     base_depth: jax.Array,  # [H, W] the chunk-mid step's depth field
-    offs: jax.Array,  # [C] i32 per-candidate band offsets (slices vs mid)
     radius: int,
     increment: int,
 ) -> jax.Array:
     """Grid-mode NCC for the classify disparity sweeps: rebase on the
-    chunk-mid step's slice map and fetch each candidate at its arithmetic
-    band offset (ops/ncc_volume.py "Sweep evaluator" rationale — the
-    direct kernel's per-tile shared band blows up on ragged fields and
-    pays the full-K fixup on ~every call; measured ~1/3 of the pass).
-    Exact: escapes take the same L2 fixup. Falls back to
-    :func:`cost_vector` without (unsharded) volumes or on CPU."""
+    chunk-mid step's slice map and fetch each candidate through an
+    AUTO-CENTERED narrow band (ops/ncc_volume.py "Sweep evaluator"
+    rationale — the direct kernel's per-tile shared band blows up on
+    ragged fields and pays the full-K fixup on ~every call; measured
+    ~1/3 of the pass). Exact: escapes take the same L2 fixup. Falls back
+    to :func:`cost_vector` without (unsharded) volumes or on CPU."""
     from apdmvs_tpu.ops import ncc_volume
 
     vs = ctx.volumes
@@ -1179,7 +1179,7 @@ def sweep_cost_vector(
         )
         outs.append(
             ncc_volume.ncc_rebased_sweep_cost_view(
-                Rv, bf, vs.E[v], vs.ref_pad, planes_cf, vs.consts[v], offs,
+                Rv, bf, vs.E[v], vs.ref_pad, planes_cf, vs.consts[v],
                 K, radius=radius, increment=increment,
             )[:, :H, :W]
         )

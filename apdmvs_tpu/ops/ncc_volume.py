@@ -50,11 +50,19 @@ jit): the rebased hot kernel runs 5.4 ms at C=9, VGA, 1 view.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+#: Trace-time path flag, read once at import (see classify.USE_SWEEP for
+#: the why); override the module attribute + retrace to experiment.
+#: Default OFF: the two-band L2a measured a per-tile WASH against the
+#: full-K fixup on v5e (scripts/bench_fixup.py; the dense recompute is
+#: formulation-insensitive) — kept as the recorded negative result.
+USE_BAND2 = os.environ.get("APDMVS_BAND2", "0") == "1"
 
 PAD_Y = 8
 PAD_X = 128
@@ -70,6 +78,11 @@ SUB_BAND = 32  # direct-kernel L1 band (slices); the base is one shared
 # tile plus the +-radius window; tiles that escape take the L2 fixup.
 RB_BAND = 8  # rebased-kernel L1 band around the rebased origin J
 FULLK_CHUNK = 32  # L2 full-range select chunk (fori over K/chunk trips)
+BAND2 = 32  # L2a two-band fixup: each of the two dynamic windows' width.
+# Escaped tiles are depth-edge tiles with BIMODAL needed-slice clusters;
+# two BAND2 windows at the group range's ends cover them at ~K/(2*BAND2)
+# of the full-K select work (round-5: the full-K fixups owned 57% of the
+# pass wall). Inter-band misses escalate to the exact full-K kernel.
 _CAND_GROUP = 3  # candidates per shared-load group in the wide-band
 # kernels (direct L1, full-K): wider sharing at band>=25 exceeds Mosaic's
 # 16 MB scoped-vmem spill stack
@@ -103,6 +116,15 @@ def pack_consts(K0: jax.Array, M: jax.Array, b: jax.Array, u_min, du,
 def _offsets(radius: int, increment: int):
     vals = list(range(-radius, radius + 1, increment))
     return [(dx, dy) for dx in vals for dy in vals]
+
+
+def _group_bit(c: int) -> int:
+    """L1 escape flags are a per-tile BITMASK with bit g set when
+    candidate group g (of _CAND_GROUP) escaped — the L2 fixup skips clean
+    groups of a flagged tile (the per-tile dense recompute cost is
+    formulation-insensitive at ~0.5 ms, so the only lever is recomputing
+    fewer (tile, group)s; scripts/bench_fixup.py)."""
+    return 1 << (c // _CAND_GROUP)
 
 
 def _ncc_epilogue(s_r, s_rr, s_s, s_ss, s_rs, S):
@@ -215,8 +237,6 @@ def _kernel_rb(
     i = pl.program_id(0)
     j = pl.program_id(1)
     J = (j2 - 1) // 2
-    b_lo = max(J - RB_BAND // 2, 0)
-    b_hi = min(b_lo + RB_BAND, j2)
 
     def win(hbm, dst, sem):
         return pltpu.make_async_copy(
@@ -246,17 +266,48 @@ def _kernel_rb(
     # set at C=9 and TILE_H=32 is >100 vregs — far beyond the register
     # file — so full load-sharing across all candidates trades a little
     # slice-load reuse for a lot of Mosaic spill traffic (the kernels are
-    # spill-bound, round-3 ledger)
-    need_e = jnp.asarray(False)
+    # spill-bound, round-3 ledger).
+    # Round-5: the band is AUTO-CENTERED per group — a cheap first pass
+    # accumulates the group's raw-index range (elementwise min/max) and
+    # the shared RB_BAND window is placed on its center instead of the
+    # static J. Systematically-offset candidate groups (e.g. candidates
+    # from across a depth edge whose deviation is uniform over the tile)
+    # then still FIT, where the static band escaped them to the L2 fixup.
+    need_e = jnp.asarray(0, jnp.int32)
     for g0 in range(0, num_cands, _RB_CAND_GROUP):
         cg = list(range(g0, min(g0 + _RB_CAND_GROUP, num_cands)))
         fields = {
             c: _plane_fields(consts_ref, planes_ref, c, dirx, diry) for c in cg
         }
+        # pass 1: per-candidate raw ranges via elementwise accumulators
+        lo_e = {c: None for c in cg}
+        hi_e = {c: None for c in cg}
+        for (dx, dy) in offsets:
+            bfs = bf_win[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
+            for c in cg:
+                _, k_c, kx, ky = fields[c]
+                raw = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf) - bfs
+                lo_e[c] = raw if lo_e[c] is None else jnp.minimum(lo_e[c], raw)
+                hi_e[c] = raw if hi_e[c] is None else jnp.maximum(hi_e[c], raw)
+        jmin = {c: jnp.min(lo_e[c]) + J for c in cg}
+        jmax = {c: jnp.max(hi_e[c]) + J for c in cg}
+        gmin = jmin[cg[0]]
+        gmax = jmax[cg[0]]
+        for c in cg[1:]:
+            # NaN candidate ranges must not poison the group band (their
+            # fits is False regardless); min/max propagate NaN, so guard
+            gmin = jnp.minimum(gmin, jnp.where(jnp.isnan(jmin[c]), jnp.inf, jmin[c]))
+            gmax = jnp.maximum(gmax, jnp.where(jnp.isnan(jmax[c]), -jnp.inf, jmax[c]))
+        gmin = jnp.where(jnp.isfinite(gmin), gmin, float(J))
+        gmax = jnp.where(jnp.isfinite(gmax), gmax, float(J))
+        g_lo = jnp.clip(
+            jnp.floor((gmin + gmax) * 0.5).astype(jnp.int32) - RB_BAND // 2,
+            0, max(j2 - RB_BAND, 0),
+        )
+        g_lof = g_lo.astype(jnp.float32)
+
         sums = {c: [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(3)]
                 for c in cg}
-        jmin = {c: jnp.asarray(jnp.inf) for c in cg}
-        jmax = {c: jnp.asarray(-jnp.inf) for c in cg}
         for (dx, dy) in offsets:
             bfs = bf_win[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
             r0i, fr = {}, {}
@@ -266,16 +317,15 @@ def _kernel_rb(
                 u_c, k_c, kx, ky = fields[c]
                 k = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
                 raw = k - bfs + J
-                jmin[c] = jnp.minimum(jmin[c], jnp.min(raw))
-                jmax[c] = jnp.maximum(jmax[c], jnp.max(raw))
-                rel = jnp.clip(raw, float(b_lo), b_hi - 1.0)
+                rel = jnp.clip(raw - g_lof, 0.0, RB_BAND - 1.0)
                 r0 = jnp.floor(rel)
                 r0i[c] = r0.astype(jnp.int32)
                 fr[c] = rel - r0
             prev = {c: None for c in cg}
-            for bb in range(b_lo, b_hi):
+            for bb in range(RB_BAND):
                 ev = r_win[
-                    bb, PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx
+                    g_lo + bb, PAD_Y + dy : PAD_Y + dy + th,
+                    TILE_W + dx : 2 * TILE_W + dx,
                 ].astype(jnp.float32)
                 for c in cg:
                     eq = r0i[c] == bb
@@ -294,10 +344,10 @@ def _kernel_rb(
             cost = _ncc_epilogue(s_r, s_rr, sums[c][0], sums[c][1], sums[c][2], S)
             oob = _center_oob(consts_ref, 0, dirx, diry, fields[c][0])
             # NaN jmin/jmax propagate -> fits False -> L2 recomputes exactly
-            fits = (jmin[c] >= float(b_lo)) & (jmax[c] <= b_hi - 1.5)
-            need_e = need_e | ~fits
+            fits = (jmin[c] >= g_lof) & (jmax[c] <= g_lof + RB_BAND - 1.5)
+            need_e = need_e | jnp.where(fits, 0, _group_bit(c))
             cost_ref[c] = jnp.where(oob, COST_MAX, jnp.where(fits, cost, -1.0))
-    flag_ref[i, j] = need_e.astype(jnp.int32)
+    flag_ref[i, j] = need_e
 
 
 def _kernel(
@@ -360,7 +410,7 @@ def _kernel(
     # candidates in groups of _CAND_GROUP: loads are shared within a
     # group; larger groups at this band width blow Mosaic's 16 MB scoped-
     # vmem spill stack (measured: band 25, group 9, TILE 32 -> 16.34 MB)
-    need_e = jnp.asarray(False)
+    need_e = jnp.asarray(0, jnp.int32)
     for g0 in range(0, num_cands, _CAND_GROUP):
         cg = list(range(g0, min(g0 + _CAND_GROUP, num_cands)))
         fields = {
@@ -424,9 +474,9 @@ def _kernel(
             # (k_hi = K-1 exactly has f = 0, so <= band - 1 suffices there;
             # we conservatively flag it — rare top-edge tiles recompute)
             fits = (k_lo[c] >= c0f) & ((k_hi[c] - c0f) <= (band - 1.5))
-            need_e = need_e | ~fits
+            need_e = need_e | jnp.where(fits, 0, _group_bit(c))
             cost_ref[c] = jnp.where(oob, COST_MAX, jnp.where(fits, cost, -1.0))
-    flag_ref[i, j] = need_e.astype(jnp.int32)
+    flag_ref[i, j] = need_e
 
 
 # ---------------------------------------------------------------------------
@@ -434,13 +484,14 @@ def _kernel(
 # ---------------------------------------------------------------------------
 
 
-def _fullk_tile(
+def _fullk_group(
     consts_ref, planes_ref, e_win, ref_tile, dirx, diry,
-    num_slices, num_cands, offsets,
+    num_slices, cg, offsets, s_r, s_rr,
 ):
-    """Exact full-K NCC costs of a tile: chunked select over all slices
-    (fori over K/FULLK_CHUNK trips with an unrolled chunk body — straight-
-    line inside, bounded compile size outside). Returns list of costs."""
+    """Exact full-K NCC costs of one candidate group over a tile: chunked
+    select over all slices (fori over K/FULLK_CHUNK trips with an unrolled
+    chunk body — straight-line inside, bounded compile size outside).
+    Returns {c: cost}."""
     th = NCC_TILE_H
     S = float(len(offsets))
     K = num_slices
@@ -448,13 +499,32 @@ def _fullk_tile(
     chunk = min(FULLK_CHUNK, K)
     trips = -(-K // chunk)
 
-    s_r, s_rr = _ref_sums(ref_tile, offsets, th)
-    costs = [None] * num_cands
-    for g0 in range(0, num_cands, _CAND_GROUP):
-        cg = list(range(g0, min(g0 + _CAND_GROUP, num_cands)))
+    costs = {}
+    if True:
         fields = {
             c: _plane_fields(consts_ref, planes_ref, c, dirx, diry) for c in cg
         }
+        # dynamic trip bounds: only slice chunks intersecting the group's
+        # needed range [floor(min k), floor(max k) + 1] are scanned (the
+        # needed range is closed-form — k is linear in the offset). NaN
+        # ranges (degenerate w) fall back to the full scan.
+        rad = max(abs(d) for off in offsets for d in off)
+        g_lo = jnp.asarray(jnp.inf)
+        g_hi = jnp.asarray(-jnp.inf)
+        for c in cg:
+            _, k_c, kx, ky = fields[c]
+            span = rad * (jnp.abs(kx) + jnp.abs(ky))
+            lo = jnp.min(k_c - span)
+            hi = jnp.max(k_c + span)
+            g_lo = jnp.minimum(g_lo, jnp.where(jnp.isnan(lo), -jnp.inf, lo))
+            g_hi = jnp.maximum(g_hi, jnp.where(jnp.isnan(hi), jnp.inf, hi))
+        g_lo = jnp.clip(jnp.where(jnp.isfinite(g_lo), g_lo, 0.0), 0.0, kmaxf)
+        g_hi = jnp.clip(jnp.where(jnp.isfinite(g_hi), g_hi, kmaxf), 0.0, kmaxf)
+        t_lo = jnp.floor(g_lo).astype(jnp.int32) // chunk
+        t_hi = jnp.minimum(
+            (jnp.floor(g_hi).astype(jnp.int32) + 1) // chunk + 1, trips
+        )
+
         sums = {c: [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(3)]
                 for c in cg}
         for (dx, dy) in offsets:
@@ -486,7 +556,7 @@ def _fullk_tile(
                 return tuple(accs)
 
             z = jnp.zeros((th, TILE_W), jnp.float32)
-            accs = jax.lax.fori_loop(0, trips, body, (z,) * (2 * len(cg)))
+            accs = jax.lax.fori_loop(t_lo, t_hi, body, (z,) * (2 * len(cg)))
             rv = ref_tile[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
             for ci_, c in enumerate(cg):
                 sv = accs[2 * ci_] * (1.0 - fr[c]) + accs[2 * ci_ + 1] * fr[c]
@@ -538,14 +608,18 @@ def _kernel_fullk(
     )
     e_dma.start()
     dirx, diry = _tile_grids(consts_ref, i, j, th)
+    offsets = _offsets(radius, increment)
     ref_dma.wait()
+    s_r, s_rr = _ref_sums(ref_tile, offsets, th)
     e_dma.wait()
-    costs = _fullk_tile(
-        consts_ref, planes_ref, e_win, ref_tile, dirx, diry,
-        num_slices, num_cands, _offsets(radius, increment),
-    )
-    for c in range(num_cands):
-        cost_ref[c] = costs[c]
+    for g0 in range(0, num_cands, _CAND_GROUP):
+        cg = list(range(g0, min(g0 + _CAND_GROUP, num_cands)))
+        costs = _fullk_group(
+            consts_ref, planes_ref, e_win, ref_tile, dirx, diry,
+            num_slices, cg, offsets, s_r, s_rr,
+        )
+        for c in cg:
+            cost_ref[c] = costs[c]
 
 
 def _fixup_kernel(
@@ -568,7 +642,10 @@ def _fixup_kernel(
     """L2: exact recomputation of sentinel-marked costs, skipping clean
     tiles (separate kernel + host-level lax.cond gate, see module
     docstring; an inline @pl.when in the hot kernel measured ~25 us/tile
-    even untaken)."""
+    even untaken). The flag word is a per-candidate-GROUP bitmask
+    (_group_bit), and clean groups of a flagged tile are skipped too —
+    the dense per-tile recompute cost is formulation-insensitive, so
+    (tile, group) skip granularity is the lever."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -579,10 +656,10 @@ def _fixup_kernel(
     j = pl.program_id(1)
     flag = flags_ref[i, j]
 
-    @pl.when(flag == 0)
-    def _copy_through():
-        for c in range(num_cands):
-            cost_out_ref[c] = cost_in_ref[c]
+    # sentinel passthrough for every candidate; flagged groups overwrite
+    # their sentinels below (in-kernel writes execute in program order)
+    for c in range(num_cands):
+        cost_out_ref[c] = cost_in_ref[c]
 
     @pl.when(flag != 0)
     def _recompute():
@@ -600,68 +677,330 @@ def _fixup_kernel(
         )
         e_dma.start()
         dirx, diry = _tile_grids(consts_ref, i, j, th)
+        offsets = _offsets(radius, increment)
         ref_dma.wait()
+        s_r, s_rr = _ref_sums(ref_tile, offsets, th)
         e_dma.wait()
-        costs = _fullk_tile(
-            consts_ref, planes_ref, e_win, ref_tile, dirx, diry,
-            num_slices, num_cands, _offsets(radius, increment),
+        for g0 in range(0, num_cands, _CAND_GROUP):
+            cg = list(range(g0, min(g0 + _CAND_GROUP, num_cands)))
+
+            @pl.when((flag & _group_bit(g0)) != 0)
+            def _fix_group(cg=cg):
+                costs = _fullk_group(
+                    consts_ref, planes_ref, e_win, ref_tile, dirx, diry,
+                    num_slices, cg, offsets, s_r, s_rr,
+                )
+                for c in cg:
+                    prev = cost_in_ref[c]
+                    cost_out_ref[c] = jnp.where(prev < 0.0, costs[c], prev)
+
+
+#: APDMVS_FLAG_STATS=1 appends per-_fixup_call escape statistics at TRACE
+#: time: (flagged_tile_count, total_tiles, per_cand_sentinel_counts).
+#: These are traced arrays — a caller must clear the list, trace the
+#: program, and return the list's entries as jit outputs (axon has no
+#: host callbacks; scripts/flag_stats.py is the harness). Call sites
+#: inside lax.map/scan would leak tracers — the harness unrolls the
+#: classify chunk map via APDMVS_SWEEP_UNROLL=1. Diagnostic only.
+STATS_TRACE: list = []
+
+
+def _band2_kernel(
+    flags_ref,  # SMEM [Ty, Tx] i32 per-tile escape flags from the L1 kernel
+    consts_ref,  # SMEM [1, NCONST]
+    planes_ref,  # VMEM [C, 4, TH, TILE_W]
+    cost_in_ref,  # VMEM [C, TH, TILE_W] L1 costs (-1 sentinel)
+    e_hbm,  # ANY [K, PH, PW]
+    ref_hbm,  # ANY [PH, PW] f32
+    cost_out_ref,  # VMEM out [C, TH, TILE_W] (-1 = band2 also missed)
+    flag2_ref,  # SMEM out [Ty, Tx] i32 — some sentinel still missed
+    e_win,
+    ref_tile,
+    sems,
+    *,
+    num_slices: int,
+    num_cands: int,
+    radius: int,
+    increment: int,
+):
+    """L2a: TWO dynamic BAND2-slice windows per candidate group instead of
+    the full-K select chain (round-5 timeline profiling: the full-K fixup
+    branches owned 57% of the pass wall).
+
+    Escaped tiles are depth-edge tiles, where the needed slice indices are
+    BIMODAL — one cluster per side of the edge — so two bands anchored at
+    the group's closed-form [min, max] k range cover almost every sample
+    at ~K/(2*BAND2) of the full-K work. Samples falling between the bands
+    stay sentinel (-1) and escalate to the exact full-K _fixup_kernel via
+    a second host-level cond (rare: needs 3+ depth levels inside one tile
+    or an edge taller than can matter). Band values are bit-exact with the
+    full-K path: integer band bases preserve floor/frac and read the same
+    E slices. Flag words are per-group bitmasks; clean groups are skipped
+    and flags2 carries the escalated groups' bits.
+
+    Measured on v5e: per-tile cost is a WASH vs the full-K fixup (the
+    dense recompute is formulation-insensitive; scripts/bench_fixup.py),
+    so this path is OFF by default (USE_BAND2) — kept as the recorded
+    negative result."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    flag = flags_ref[i, j]
+    flag2_ref[i, j] = 0
+    for c in range(num_cands):
+        cost_out_ref[c] = cost_in_ref[c]
+
+    @pl.when(flag != 0)
+    def _recompute():
+        th = NCC_TILE_H
+        ref_dma = pltpu.make_async_copy(
+            ref_hbm.at[pl.ds(i * th, th + 2 * PAD_Y), pl.ds(j * TILE_W, 3 * TILE_W)],
+            ref_tile,
+            sems.at[0],
         )
-        for c in range(num_cands):
-            prev = cost_in_ref[c]
-            cost_out_ref[c] = jnp.where(prev < 0.0, costs[c], prev)
+        ref_dma.start()
+        dirx, diry = _tile_grids(consts_ref, i, j, th)
+        offsets = _offsets(radius, increment)
+        S = float(len(offsets))
+        K = num_slices
+        kmaxf = float(K - 1)
+        band = min(BAND2, K)
+        ref_dma.wait()
+        s_r, s_rr = _ref_sums(ref_tile, offsets, th)
+
+        def win_dma(base, dst, sem):
+            return pltpu.make_async_copy(
+                e_hbm.at[
+                    pl.ds(base, band),
+                    pl.ds(i * th, th + 2 * PAD_Y),
+                    pl.ds(j * TILE_W, 3 * TILE_W),
+                ],
+                dst,
+                sem,
+            )
+
+        for g0 in range(0, num_cands, _CAND_GROUP):
+            cg = list(range(g0, min(g0 + _CAND_GROUP, num_cands)))
+
+            @pl.when((flag & _group_bit(g0)) != 0)
+            def _fix_group(cg=cg):
+                fields = {
+                    c: _plane_fields(consts_ref, planes_ref, c, dirx, diry)
+                    for c in cg
+                }
+                # closed-form group k range -> the two band bases
+                k_lo_all = jnp.asarray(jnp.inf)
+                k_hi_all = jnp.asarray(-jnp.inf)
+                for c in cg:
+                    _, k_c, kx, ky = fields[c]
+                    span = radius * (jnp.abs(kx) + jnp.abs(ky))
+                    lo = jnp.min(k_c - span)
+                    hi = jnp.max(k_c + span)
+                    k_lo_all = jnp.minimum(
+                        k_lo_all, jnp.where(jnp.isnan(lo), jnp.inf, lo)
+                    )
+                    k_hi_all = jnp.maximum(
+                        k_hi_all, jnp.where(jnp.isnan(hi), -jnp.inf, hi)
+                    )
+                # all-NaN groups leave the range infinite: anchor the bands
+                # anywhere valid (every sample misses and escalates)
+                k_lo_all = jnp.where(jnp.isfinite(k_lo_all), k_lo_all, 0.0)
+                k_hi_all = jnp.where(jnp.isfinite(k_hi_all), k_hi_all, kmaxf)
+                a0 = jnp.clip(
+                    jnp.floor(k_lo_all).astype(jnp.int32), 0, max(K - band, 0)
+                )
+                b0 = jnp.clip(
+                    jnp.ceil(k_hi_all).astype(jnp.int32) - (band - 1),
+                    0, max(K - band, 0),
+                )
+                b0 = jnp.maximum(b0, a0)
+                a_dma = win_dma(a0, e_win.at[0], sems.at[1])
+                b_dma = win_dma(b0, e_win.at[1], sems.at[2])
+                a_dma.start()
+                b_dma.start()
+                a0f = a0.astype(jnp.float32)
+                b0f = b0.astype(jnp.float32)
+                a_dma.wait()
+                b_dma.wait()
+                win_a = e_win[0]
+                win_b = e_win[1]
+
+                sums = {c: [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(3)]
+                        for c in cg}
+                miss = {c: jnp.zeros((th, TILE_W), jnp.bool_) for c in cg}
+                for (dx, dy) in offsets:
+                    r0i, fr = {}, {}
+                    acc0 = {c: jnp.zeros((th, TILE_W), jnp.float32) for c in cg}
+                    acc1 = {c: jnp.zeros((th, TILE_W), jnp.float32) for c in cg}
+                    for c in cg:
+                        _, k_c, kx, ky = fields[c]
+                        k = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
+                        in_a = k <= a0f + (band - 1.5)
+                        # the B band covers [b0, b0 + band - 1] >= k_hi_all
+                        # by construction; only the inter-band gap misses
+                        fits = in_a | (k >= b0f)
+                        miss[c] = miss[c] | ~fits
+                        rel = jnp.where(in_a, k - a0f, k - b0f + band)
+                        rel = jnp.clip(rel, 0.0, 2.0 * band - 1.0)
+                        r0 = jnp.floor(rel)
+                        r0i[c] = r0.astype(jnp.int32)
+                        fr[c] = rel - r0
+                    prev = {c: None for c in cg}
+                    for bb in range(2 * band):
+                        src = win_a if bb < band else win_b
+                        ev = src[
+                            bb % band,
+                            PAD_Y + dy : PAD_Y + dy + th,
+                            TILE_W + dx : 2 * TILE_W + dx,
+                        ].astype(jnp.float32)
+                        for c in cg:
+                            eq = r0i[c] == bb
+                            acc0[c] = jnp.where(eq, ev, acc0[c])
+                            if prev[c] is not None:
+                                acc1[c] = jnp.where(prev[c], ev, acc1[c])
+                            prev[c] = eq
+                    rv = ref_tile[
+                        PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx
+                    ]
+                    for c in cg:
+                        sv = acc0[c] * (1.0 - fr[c]) + acc1[c] * fr[c]
+                        sums[c][0] = sums[c][0] + sv
+                        sums[c][1] = sums[c][1] + sv * sv
+                        sums[c][2] = sums[c][2] + rv * sv
+
+                missed_bits = jnp.asarray(0, jnp.int32)
+                for c in cg:
+                    cost = _ncc_epilogue(
+                        s_r, s_rr, sums[c][0], sums[c][1], sums[c][2], S
+                    )
+                    oob = _center_oob(consts_ref, 0, dirx, diry, fields[c][0])
+                    cost = jnp.where(oob, COST_MAX, cost)
+                    prev_c = cost_in_ref[c]
+                    need = prev_c < 0.0
+                    # NaN plane fields make miss False by comparison
+                    # semantics; force those to stay sentinel (the full-K
+                    # escalation handles them exactly)
+                    bad = miss[c] | jnp.isnan(fields[c][1])
+                    fixed = jnp.where(bad, -1.0, cost)
+                    out = jnp.where(need, fixed, prev_c)
+                    missed_bits = missed_bits | jnp.where(
+                        jnp.any(need & bad), _group_bit(c), 0
+                    )
+                    cost_out_ref[c] = out
+                flag2_ref[i, j] = flag2_ref[i, j] | missed_bits
 
 
-def _fixup_call(flags, consts, planes_cf, cost1, E_pad, ref_pad,
-                num_slices, radius, increment, interpret):
-    """Cond-gated L2 dispatch: runs the fixup kernel only when some tile
-    flagged (host-level lax.cond — calls with no escapes pay nothing;
-    under vmap the cond degrades to a select and both branches run)."""
+def _fixup_pallas(kernel_fn, n_out, flags, consts, planes_cf, cost1, E_pad,
+                  ref_pad, interpret):
+    """Shared pallas_call plumbing for the L2a/L2b fixup kernels."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     C, _, H, W = planes_cf.shape
     K = E_pad.shape[0]
-    kernel = functools.partial(
-        _fixup_kernel,
-        num_slices=num_slices,
-        num_cands=C,
-        radius=radius,
-        increment=increment,
-    )
-
-    def fix(cost1_):
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.float32),
-            grid=(H // NCC_TILE_H, W // TILE_W),
-            in_specs=[
-                pl.BlockSpec(
-                    (H // NCC_TILE_H, W // TILE_W), lambda i, j: (0, 0),
-                    memory_space=pltpu.SMEM,
-                ),
-                pl.BlockSpec((1, _NCONST), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (C, 4, NCC_TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (C, NCC_TILE_H, TILE_W), lambda i, j: (0, i, j),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
+    Ty, Tx = H // NCC_TILE_H, W // TILE_W
+    if n_out == 2:  # band2: (A, B) band windows
+        band = min(BAND2, K)
+        e_scratch = pltpu.VMEM(
+            (2, band, NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), E_pad.dtype
+        )
+        n_sems = 3
+    else:  # full-K
+        e_scratch = pltpu.VMEM(
+            (K, NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), E_pad.dtype
+        )
+        n_sems = 2
+    out_shape = [jax.ShapeDtypeStruct((C, H, W), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec(
+            (C, NCC_TILE_H, TILE_W), lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    if n_out == 2:
+        out_shape.append(jax.ShapeDtypeStruct((Ty, Tx), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((Ty, Tx), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+        )
+    return pl.pallas_call(
+        kernel_fn,
+        out_shape=out_shape if n_out == 2 else out_shape[0],
+        grid=(Ty, Tx),
+        in_specs=[
+            pl.BlockSpec((Ty, Tx), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _NCONST), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (C, 4, NCC_TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
                 (C, NCC_TILE_H, TILE_W), lambda i, j: (0, i, j),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[
-                pltpu.VMEM((K, NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), E_pad.dtype),
-                pltpu.VMEM((NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-            interpret=interpret,
-        )(flags, consts, planes_cf, cost1_, E_pad, ref_pad)
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=out_specs if n_out == 2 else out_specs[0],
+        scratch_shapes=[
+            e_scratch,
+            pltpu.VMEM((NCC_TILE_H + 2 * PAD_Y, 3 * TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_sems,)),
+        ],
+        interpret=interpret,
+    )(flags, consts, planes_cf, cost1, E_pad, ref_pad)
+
+
+def _fixup_call(flags, consts, planes_cf, cost1, E_pad, ref_pad,
+                num_slices, radius, increment, interpret):
+    """Cond-gated L2 dispatch: L2a two-band recompute when some tile
+    flagged, escalating to the exact full-K L2b only for samples the two
+    bands miss (host-level lax.cond chain — calls with no escapes pay
+    nothing; under vmap the conds degrade to selects and all branches
+    run). APDMVS_BAND2=1 routes through the two-band L2a first (measured
+    a wash on v5e — default off, see USE_BAND2)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if os.environ.get("APDMVS_FLAG_STATS"):
+        STATS_TRACE.append(
+            (jnp.sum(flags != 0), flags.size,
+             jnp.sum(cost1 < 0.0, axis=tuple(range(1, cost1.ndim))))
+        )
+
+    C = planes_cf.shape[0]
+    common = dict(
+        num_slices=num_slices, num_cands=C, radius=radius, increment=increment
+    )
+    fullk = functools.partial(_fixup_kernel, **common)
+    band2 = functools.partial(_band2_kernel, **common)
+
+    def fix_fullk(flags_, cost_):
+        return _fixup_pallas(
+            fullk, 1, flags_, consts, planes_cf, cost_, E_pad, ref_pad,
+            interpret,
+        )
+
+    if not USE_BAND2:
+        return jax.lax.cond(
+            jnp.any(flags != 0),
+            lambda c: fix_fullk(flags, c),
+            lambda c: c,
+            cost1,
+        )
+
+    def fix(cost1_):
+        cost2, flags2 = _fixup_pallas(
+            band2, 2, flags, consts, planes_cf, cost1_, E_pad, ref_pad,
+            interpret,
+        )
+        return jax.lax.cond(
+            jnp.any(flags2 != 0),
+            lambda c: fix_fullk(flags2, c),
+            lambda c: c,
+            cost2,
+        )
 
     return jax.lax.cond(jnp.any(flags != 0), fix, lambda c: c, cost1)
 
@@ -1292,7 +1631,7 @@ def ncc_volume_cost_view_ref(
 
 
 # ---------------------------------------------------------------------------
-# Sweep evaluator: rebased L1 with per-candidate band offsets
+# Sweep evaluator: rebased L1 with auto-centered per-candidate bands
 # ---------------------------------------------------------------------------
 #
 # The DepthToWeak / LocalRefine disparity sweeps (classify.py) evaluate S
@@ -1304,16 +1643,18 @@ def ncc_volume_cost_view_ref(
 # round-4 closing). Rebasing on the MID step's slice map absorbs the
 # field's slopes and edges exactly as the propagation rebase does, and
 # each candidate's residual index is ~(s - mid) * delta(p): a narrow band
-# at a PER-CANDIDATE offset round((s - mid) * delta_bar). Pixels whose
-# delta deviates from delta_bar (selected-view baselines vary) or whose
-# offset clips escape to the same exact L2 fixup.
+# placed per (tile, candidate). Round-5: the band is AUTO-CENTERED on the
+# candidate's measured raw-index range (a cheap elementwise min/max first
+# pass) instead of a global round((s - mid) * delta_bar) offset — the
+# global offset mis-placed the band wherever the per-pixel baseline
+# deviated from the mean, escaping whole tiles to the L2 fixup for no
+# reason. Only genuine > RB_BAND spreads (depth edges) still escape.
 
 SWEEP_J2 = 49  # rebase window for the sweep (covers |s-mid|*delta <= 24)
 
 
 def _kernel_rb_offs(
     consts_ref,  # SMEM [1, NCONST]
-    offs_ref,  # SMEM [1, C] i32 per-candidate band offsets (vs J)
     planes_ref,  # VMEM [C, 4, TH, TILE_W]
     r_hbm,  # ANY [J2, PH, PW] rebased volume (mid-step base)
     bf_hbm,  # ANY [PH, PW] f32 clipped base map
@@ -1331,6 +1672,20 @@ def _kernel_rb_offs(
     increment: int,
     j2: int,
 ):
+    """Sweep L1: AUTO-CENTERED per-candidate dynamic bands.
+
+    Round-5 revision: the original form placed each candidate's band at a
+    GLOBAL offset round((s - mid) * delta_bar) from SMEM. delta(p) is set
+    by the pixel's mean SELECTED-view baseline, which jumps wherever view
+    selection differs from the average, so whole tiles escaped to the L2
+    fixup for a merely mis-PLACED band (the fixup owns most of the pass
+    wall; scripts/timeline_pass.py). Instead, a cheap first pass
+    accumulates each candidate's raw index range over the tile
+    (elementwise min/max, one scalar reduce per candidate) and centers
+    the band on it: band placement errors vanish, and only tiles whose
+    per-candidate spread genuinely exceeds RB_BAND (depth edges under the
+    window) still escape.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1363,24 +1718,40 @@ def _kernel_rb_offs(
     bf_dma.wait()
     r_dma.wait()
 
-    need_e = jnp.asarray(False)
+    fields = [
+        _plane_fields(consts_ref, planes_ref, c, dirx, diry)
+        for c in range(num_cands)
+    ]
+
+    # pass 1: per-candidate raw-index range over all samples (elementwise
+    # accumulators; one scalar reduce per candidate at the end)
+    lo_e = [None] * num_cands
+    hi_e = [None] * num_cands
+    for (dx, dy) in offsets:
+        bfs = bf_win[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
+        for c in range(num_cands):
+            _, k_c, kx, ky = fields[c]
+            raw = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf) - bfs
+            lo_e[c] = raw if lo_e[c] is None else jnp.minimum(lo_e[c], raw)
+            hi_e[c] = raw if hi_e[c] is None else jnp.maximum(hi_e[c], raw)
+
+    need_e = jnp.asarray(0, jnp.int32)
     for c in range(num_cands):
-        # per-candidate dynamic band base (the direct kernel's c0 pattern,
-        # but per candidate and read from SMEM)
+        u_c, k_c, kx, ky = fields[c]
+        jmin = jnp.min(lo_e[c]) + J
+        jmax = jnp.max(hi_e[c]) + J
+        # NaN ranges (degenerate w) propagate -> fits False -> L2
+        center = (jmin + jmax) * 0.5
         b_lo = jnp.clip(
-            offs_ref[0, c] + J - RB_BAND // 2, 0, max(j2 - RB_BAND, 0)
+            jnp.floor(center).astype(jnp.int32) - RB_BAND // 2,
+            0, max(j2 - RB_BAND, 0),
         )
         b_lof = b_lo.astype(jnp.float32)
-        u_c, k_c, kx, ky = _plane_fields(consts_ref, planes_ref, c, dirx, diry)
         sums = [jnp.zeros((th, TILE_W), jnp.float32) for _ in range(3)]
-        jmin = jnp.asarray(jnp.inf)
-        jmax = jnp.asarray(-jnp.inf)
         for (dx, dy) in offsets:
             bfs = bf_win[PAD_Y + dy : PAD_Y + dy + th, TILE_W + dx : 2 * TILE_W + dx]
             k = jnp.clip(k_c + kx * dx + ky * dy, 0.0, kmaxf)
             raw = k - bfs + J
-            jmin = jnp.minimum(jmin, jnp.min(raw))
-            jmax = jnp.maximum(jmax, jnp.max(raw))
             rel = jnp.clip(raw - b_lof, 0.0, RB_BAND - 1.0)
             r0 = jnp.floor(rel)
             r0i = r0.astype(jnp.int32)
@@ -1407,9 +1778,9 @@ def _kernel_rb_offs(
         cost = _ncc_epilogue(s_r, s_rr, sums[0], sums[1], sums[2], S)
         oob = _center_oob(consts_ref, 0, dirx, diry, u_c)
         fits = (jmin >= b_lof) & (jmax <= b_lof + RB_BAND - 1.5)
-        need_e = need_e | ~fits
+        need_e = need_e | jnp.where(fits, 0, _group_bit(c))
         cost_ref[c] = jnp.where(oob, COST_MAX, jnp.where(fits, cost, -1.0))
-    flag_ref[i, j] = need_e.astype(jnp.int32)
+    flag_ref[i, j] = need_e
 
 
 @functools.partial(
@@ -1423,14 +1794,13 @@ def ncc_rebased_sweep_cost_view(
     ref_pad: jax.Array,  # [PH, PW] f32
     planes: jax.Array,  # [C, 4, H, W]
     consts: jax.Array,  # [1, NCONST]
-    offs: jax.Array,  # [C] i32 per-candidate band offsets (vs J)
     num_slices: int,
     radius: int = 5,
     increment: int = 2,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Exact sweep NCC costs [C, H, W]: rebased L1 at per-candidate band
-    offsets + the cond-gated L2 fixup (results identical to
+    """Exact sweep NCC costs [C, H, W]: rebased L1 at AUTO-CENTERED
+    per-candidate bands + the cond-gated L2 fixup (results identical to
     :func:`ncc_volume_cost_view`; only the fetch strategy differs)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1465,7 +1835,6 @@ def ncc_rebased_sweep_cost_view(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _NCONST), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (C, 4, NCC_TILE_H, TILE_W), lambda i, j: (0, 0, i, j),
                 memory_space=pltpu.VMEM,
@@ -1488,7 +1857,7 @@ def ncc_rebased_sweep_cost_view(
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(consts, offs.reshape(1, C).astype(jnp.int32), planes, R_pad, bf_pad, ref_pad)
+    )(consts, planes, R_pad, bf_pad, ref_pad)
     return _fixup_call(
         flags, consts, planes, cost1, E_pad, ref_pad,
         num_slices, radius, increment, interpret,

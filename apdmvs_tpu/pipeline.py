@@ -22,11 +22,16 @@ reference's ``neighbours_map`` compaction (APD.cpp:526-538).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+#: Trace-time path flag, read once at import (see classify.USE_SWEEP for
+#: the why); override the module attribute + retrace to experiment.
+USE_REBASE = os.environ.get("APDMVS_REBASE", "1") == "1"
 
 from apdmvs_tpu import classify, filters, geometry, hypotheses, ncc, propagation, weak
 from apdmvs_tpu.geometry import Cameras
@@ -119,11 +124,10 @@ def patchmatch_pass_impl(
         "Rebased volumes"): the base map absorbs the scene's slopes AND
         depth edges, so the propagation sweeps' NCC fetches run over the
         static RB_BAND deviation band (exact — escapes take the cond-gated
-        L2 fixup). Default on; APDMVS_REBASE=0 forces the direct kernel
-        (same results, slower at depth edges)."""
-        import os
-
-        if volumes is None or os.environ.get("APDMVS_REBASE", "1") != "1":
+        L2 fixup). Default on; APDMVS_REBASE=0 (read once at import, see
+        classify.USE_SWEEP note) forces the direct kernel (same results,
+        slower at depth edges)."""
+        if volumes is None or not USE_REBASE:
             return ctx_
         d = geometry.depth_from_plane(cams.K[0], planes_, ctx_.x, ctx_.y)
         return ctx_._replace(volumes=ncc.rebase_volume_set(volumes, cams, d))

@@ -290,18 +290,22 @@ def propagate_strong_color(
         ctx.cams.K[0], ctx.x, ctx.y, depths5, normals5
     )  # [5, H, W]
     planes5 = jnp.concatenate([normals5, w5[..., None]], axis=-1)  # [5, H, W, 4]
-    # combos 0/2 carry the per-pixel uniform-RANDOM depth draw — their
-    # slice index is structurally unbounded, so they route to the exact
-    # full-K kernel; 1/3/4 (current or +-2%-perturbed depth) stay on the
-    # banded fast path (ops/ncc_volume.py module docstring)
+    # combos 0/2 carry the per-pixel uniform-RANDOM depth draw and combo 1
+    # the per-pixel RANDOM normal — their slice index (or window shear) is
+    # structurally unbounded, so all three route to the exact full-K
+    # kernel. Only 3/4 (perturbed normal <= 0.02*pi off current, depth
+    # +-2% of current) stay on the banded fast path: round-5 per-call
+    # fixup traces showed the random-normal combo's shear flagging ~40
+    # tiles on EVERY half-sweep, paying more in L2 fixups than the full-K
+    # evaluation costs outright.
     cv_b = ncc.cost_vector(
-        ctx, jnp.stack([planes5[1], planes5[3], planes5[4]]), r, inc
-    )  # [V, 3, H, W]
-    cv_r = ncc.cost_vector_full(
-        ctx, jnp.stack([planes5[0], planes5[2]]), r, inc
+        ctx, jnp.stack([planes5[3], planes5[4]]), r, inc
     )  # [V, 2, H, W]
+    cv_r = ncc.cost_vector_full(
+        ctx, jnp.stack([planes5[0], planes5[1], planes5[2]]), r, inc
+    )  # [V, 3, H, W]
     cv5 = jnp.stack(
-        [cv_r[:, 0], cv_b[:, 0], cv_r[:, 1], cv_b[:, 1], cv_b[:, 2]], axis=1
+        [cv_r[:, 0], cv_r[:, 1], cv_r[:, 2], cv_b[:, 0], cv_b[:, 1]], axis=1
     )  # [V, 5, H, W]
     c5 = jnp.sum(weights[:, None] * cv5, axis=0) / jnp.maximum(
         weight_norm[None], 1e-30

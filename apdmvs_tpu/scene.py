@@ -732,8 +732,14 @@ def run_scene_batched(
         cfg = PassConfig.from_spec(eff)
 
         # ---- once-per-scale stacked volume cache ----
+        # Skipped on space-sharded meshes: sharded_batch_pass routes those
+        # to the spaced row-slab path, which builds its own per-shard slab
+        # volumes and ignores ``prebuilt`` — building the cache there would
+        # replicate up to volume_cache_gb of HBM per device (it shards only
+        # over 'view') in exactly the memory-constrained regime spaced mode
+        # targets.
         prebuilt = None
-        if use_volumes:
+        if use_volumes and mesh.shape.get("space", 1) == 1:
             prebuilt = vol_cache.get((W, H))
             if prebuilt is None:
                 vol_cache.clear()  # schedule never revisits a finished scale

@@ -68,7 +68,7 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--views", type=int, default=5)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument(
         "--batched-problems", type=int, default=4,
         help="also time the batched/sharded runner with this many problems "
@@ -162,15 +162,23 @@ def main() -> None:
         return out
 
     run(0)  # compile + warmup
-    t0 = time.time()
+    pass_times = []
     for i in range(args.repeats):
+        t0 = time.time()
         run(i + 1)
-    pass_s = (time.time() - t0) / args.repeats
+        pass_times.append(time.time() - t0)
 
     # steady-round amortization: image volumes reused across 4 passes,
-    # depth volumes rebuilt per pass
-    amortized_s = img_build_s / 4.0 + depth_build_s + pass_s
-    maps_per_sec = 1.0 / amortized_s
+    # depth volumes rebuilt per pass. Per-rep throughputs -> median
+    # headline + min + spread, so BENCH files are comparable across
+    # rounds at the chip's ±20% session-noise level (VERDICT r4 weak #1).
+    build_s = img_build_s / 4.0 + depth_build_s
+    rates = sorted(1.0 / (build_s + p) for p in pass_times)
+    maps_per_sec = float(np.median(rates))
+    maps_min = rates[0]
+    spread_pct = 100.0 * (rates[-1] - rates[0]) / maps_per_sec
+    pass_s = float(np.median(pass_times))
+    amortized_s = build_s + pass_s
 
     samples = required_ncc_samples(H, W, V, cfg.max_iterations, 0.0625)
     sol_s = samples * FLOPS_PER_SAMPLE / VPU_PEAK_FLOPS
@@ -258,11 +266,14 @@ def main() -> None:
             return out
 
         run_batched(keys_b)  # compile + warmup
-        t0 = time.time()
-        run_batched(jax.vmap(jax.random.PRNGKey)(
-            jnp.arange(N, 2 * N, dtype=jnp.uint32)
-        ))
-        batched_s = (time.time() - t0 + pb_build_s / 4.0) / N
+        b_times = []
+        for rep in range(args.repeats):
+            t0 = time.time()
+            run_batched(jax.vmap(jax.random.PRNGKey)(
+                jnp.arange((rep + 1) * N, (rep + 2) * N, dtype=jnp.uint32)
+            ))
+            b_times.append(time.time() - t0)
+        batched_s = (float(np.median(b_times)) + pb_build_s / 4.0) / N
         batched_maps_per_sec = 1.0 / batched_s
         print(
             f"batched runner ({N} problems, {len(jax.devices())} device(s), "
@@ -278,6 +289,9 @@ def main() -> None:
         "value": round(maps_per_sec, 4),
         "unit": "depth-maps/s",
         "vs_baseline": round(vs, 3),
+        "min": round(maps_min, 4),
+        "spread_pct": round(spread_pct, 1),
+        "repeats": args.repeats,
     }
     if batched_maps_per_sec is not None:
         row["batched_maps_per_sec"] = round(batched_maps_per_sec, 4)

@@ -1,14 +1,17 @@
-"""Op-level trace of one jitted bench pass: the ONLY trustworthy pass
-profiler (round-4 PERF_NOTES: isolated-stage timings on smooth oracle
-fields understate the classify/refine sweeps ~2.3x, per-call timings
-carry a ~25 ms dispatch floor, and cross-session pass walls vary ±20%).
+"""Op-level trace of one jitted bench pass.
 
-Runs one REFINE_ITER bench pass under jax.profiler.trace, parses the
-xplane, and prints the top device ops by total time. Conditional ops
-(%conditional...) contain their branch custom-calls — the L2 fixup
-firing cost reads directly off them.
+CAVEAT (round 5): the per-op-name totals printed here DOUBLE-COUNT
+nested spans — a %conditional op's duration contains its branch
+custom-calls. For a true wall decomposition use
+scripts/timeline_pass.py on the trace dir this script writes: it
+computes nesting-aware SELF time (Σ self = busy wall), union occupancy,
+and a gap ledger. This script remains the convenient trace *capturer*
+(isolated-stage timings on smooth oracle fields understate the
+classify/refine sweeps ~2.3x, per-call timings carry a ~25 ms dispatch
+floor, and cross-session pass walls vary ±20% — PERF_NOTES).
 
 Usage: python scripts/trace_pass.py [--width 640 --height 480]
+       python scripts/timeline_pass.py --trace-dir /tmp/apd_trace
 """
 
 import argparse

@@ -143,6 +143,60 @@ def test_fullk_and_l2_exact_on_random_depths(setup):
     assert np.max(np.abs(got_l12 - want)) < 1e-4, np.max(np.abs(got_l12 - want))
 
 
+def test_band2_fixup_partial_and_escalation(setup):
+    """The L2a two-band kernel in isolation: with all-sentinel input it
+    must exactly fix every sample covered by the two dynamic bands and
+    leave the inter-band misses sentinel with the tile flagged for the
+    full-K escalation (non-vacuous: a random-depth candidate spans nearly
+    the whole K range per tile, so its middle slices MUST miss)."""
+    import functools
+
+    gc, images, depths, E, ref_pad, consts, planes_b, planes_cf, K_slices, v = setup
+    H, W = planes_cf.shape[2], planes_cf.shape[3]
+    rng = np.random.default_rng(3)
+    x, y = geometry.pixel_grid(H, W)
+    n_cam = planes_b[0, ..., :3]
+    d_rand = jnp.asarray(rng.uniform(1.3, 9.5, (H, W)).astype(np.float32))
+    w_r = geometry.dist_to_origin(gc.K[0], x, y, d_rand, n_cam)
+    p_r = jnp.concatenate([n_cam, w_r[..., None]], -1)
+    pcf = jnp.moveaxis(jnp.stack([planes_b[0], p_r]), -1, 1)  # [2, 4, H, W]
+
+    flags = jnp.ones(
+        (H // ncc_volume.NCC_TILE_H, W // ncc_volume.TILE_W), jnp.int32
+    )
+    want = np.asarray(
+        ncc_volume.ncc_volume_cost_view_ref(E, ref_pad, pcf, consts, K_slices)
+    )
+
+    def band2(pcf_):
+        C = pcf_.shape[0]
+        kernel = functools.partial(
+            ncc_volume._band2_kernel, num_slices=K_slices, num_cands=C,
+            radius=5, increment=2,
+        )
+        cost1 = jnp.full((C, H, W), -1.0, jnp.float32)
+        c2, f2 = ncc_volume._fixup_pallas(
+            kernel, 2, flags, consts, pcf_, cost1, E, ref_pad, interpret=True
+        )
+        return np.asarray(c2), np.asarray(f2)
+
+    # smooth oracle candidate alone: its group range fits the two bands
+    # everywhere -> fully fixed, exact, no escalation
+    c2s, f2s = band2(pcf[:1])
+    assert np.all(c2s[0] >= 0.0)
+    assert np.max(np.abs(c2s[0] - want[0])) < 1e-4
+    assert not np.any(f2s)
+    # mixed group with a random-depth candidate: the group range spans
+    # nearly all of K, so inter-band samples must miss and escalate
+    c2m, f2m = band2(pcf)
+    assert np.any(c2m[1] < 0.0)
+    assert np.any(f2m != 0)
+    # every pixel band2 DID fix is exact (both candidates)
+    for c in range(2):
+        ok = c2m[c] >= 0.0
+        assert np.max(np.abs(c2m[c][ok] - want[c][ok])) < 1e-4
+
+
 def test_rebased_builder_matches_formula(setup):
     gc, images, depths, E, ref_pad, consts, planes_b, planes_cf, K_slices, v = setup
     PH, PW = E.shape[1], E.shape[2]
@@ -232,12 +286,9 @@ def test_sweep_kernel_exact(setup):
     R, bf = ncc_volume.build_rebased_view(
         E, base_k, K_slices, j2=ncc_volume.SWEEP_J2, interpret=True
     )
-    delta_bar = float(jnp.mean(1.0 / (fx * B * du)))
-    offs = jnp.round(steps * delta_bar).astype(jnp.int32)
-
     got = np.asarray(
         ncc_volume.ncc_rebased_sweep_cost_view(
-            R, bf, E, ref_pad, pl_cf, consts, offs, K_slices, interpret=True
+            R, bf, E, ref_pad, pl_cf, consts, K_slices, interpret=True
         )
     )
     want = np.asarray(
