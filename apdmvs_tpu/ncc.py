@@ -40,13 +40,17 @@ class VolumeSet(NamedTuple):
     """Per-source-view plane-sweep volumes for the Pallas fast path
     (ops/__init__ rationale; PERF_NOTES.md measurements).
 
-    E: [V, K, Hp+2*PAD_Y, Wp+2*PAD_X] bf16 — entry 0 (the ref view) is
-      zeros/unused; (Hp, Wp) = image dims padded up to (8, 128) multiples.
-    consts: [V, 1, 21] f32 — ncc_volume.pack_consts per view.
+    All per-view fields store SOURCE views only — index v-1 for camera v
+    (round 5: the previous layout carried an all-zero view-0 plane in
+    every field, ~20% of the set's HBM and build traffic for nothing).
+
+    E: [V-1, K, Hp+2*PAD_Y, Wp+2*PAD_X] bf16; (Hp, Wp) = image dims
+      padded up to (8, 128) multiples.
+    consts: [V-1, 1, 21] f32 — ncc_volume.pack_consts per source view.
     ref_pad: [Hp+2*PAD_Y, Wp+2*PAD_X] f32 — padded reference image.
     D / geom_consts: optional source-depth volumes (trunc-sampled,
-      [V, K, Hp, Wp]) + reprojection constants for geometric-consistency
-      passes.
+      [V-1, K, Hp, Wp]) + reprojection constants for geometric-
+      consistency passes.
     """
 
     E: jax.Array
@@ -56,7 +60,7 @@ class VolumeSet(NamedTuple):
     geom_consts: Optional[jax.Array] = None
     # NCC cost volumes for the weak/APD machinery (ops/cost_volume.py):
     # C36 = strong patch config (radius 5, step 2), C9 = anchor patch
-    # config (radius 5, step 5). [V, K, PH, PW] bf16.
+    # config (radius 5, step 5). [V-1, K, PH, PW] bf16.
     C36: Optional[jax.Array] = None
     C9: Optional[jax.Array] = None
     # Rebased volumes R[v, j, p] = E[v, b(p) + j - J, p] around the current
@@ -81,7 +85,7 @@ class VolumeSet(NamedTuple):
     def u_grid(self):
         """(u_min, du) of the slice grid as traced scalars."""
         c = self.consts[0] if self.consts.ndim == 4 else self.consts
-        return c[1, 0, 4], c[1, 0, 5]
+        return c[0, 0, 4], c[0, 0, 5]
 
 
 class CostContext(NamedTuple):
@@ -179,18 +183,11 @@ def build_image_volume_set(
     Wp = _ceil_to(W, ncc_volume.TILE_W)
     wc = geometry.warp_constants(cams)
     u_min, du = vol.inv_depth_grid(depth_min, depth_max, num_slices)
+    # source views only (index v-1 for camera v): a zero view-0 plane
+    # would be ~20% of the set's HBM + build traffic for nothing
     Es = []
     consts = []
-    for v in range(V):
-        if v == 0:
-            Es.append(
-                jnp.zeros(
-                    (num_slices, Hp + 2 * ncc_volume.PAD_Y, Wp + 2 * ncc_volume.PAD_X),
-                    jnp.bfloat16,
-                )
-            )
-            consts.append(jnp.zeros((1, ncc_volume._NCONST), jnp.float32))
-            continue
+    for v in range(1, V):
         Es.append(
             vol.build_volume_pallas(
                 images[v], wc.M[v], wc.b[v], cams.K[0], Hp, Wp, u_min, du,
@@ -211,20 +208,11 @@ def build_image_volume_set(
     if weak_cost_volumes:
         from apdmvs_tpu.ops import cost_volume as cv
 
-        # view 0 (the ref itself) is never fetched — skip the build
         C36 = jnp.stack(
-            [
-                jnp.zeros_like(Es[0]) if v == 0 else
-                cv.build_cost_volume(Es[v], ref_pad, radius=5, increment=2)
-                for v in range(V)
-            ]
+            [cv.build_cost_volume(E, ref_pad, radius=5, increment=2) for E in Es]
         )
         C9 = jnp.stack(
-            [
-                jnp.zeros_like(Es[0]) if v == 0 else
-                cv.build_cost_volume(Es[v], ref_pad, radius=5, increment=5)
-                for v in range(V)
-            ]
+            [cv.build_cost_volume(E, ref_pad, radius=5, increment=5) for E in Es]
         )
     return VolumeSet(
         E=jnp.stack(Es),
@@ -264,11 +252,7 @@ def add_depth_volumes(
     R_ref = cams.R[0]
     Ds = []
     gconsts = []
-    for v in range(V):
-        if v == 0:
-            Ds.append(jnp.zeros((num_slices, Hp, Wp), jnp.float32))
-            gconsts.append(jnp.zeros((1, ncc_volume._NGEOM), jnp.float32))
-            continue
+    for v in range(1, V):
         Ds.append(
             vol.build_volume_pallas(
                 depth_maps[v], wc.M[v], wc.b[v], cams.K[0], Hp, Wp,
@@ -312,7 +296,6 @@ def rebase_volume_set(vs: VolumeSet, cams: Cameras, depth: jax.Array) -> VolumeS
     if jax.default_backend() == "cpu":
         # CPU grid calls route through the XLA mirror; R would be unused
         return vs
-    V = vs.E.shape[0]
     u_min, du = vs.u_grid
     K = vs.num_slices
     H, W = depth.shape
@@ -325,10 +308,10 @@ def rebase_volume_set(vs: VolumeSet, cams: Cameras, depth: jax.Array) -> VolumeS
             (ncc_volume.PAD_X, PW - W - ncc_volume.PAD_X)),
         mode="edge",
     )
-    Rs = [jnp.zeros((ncc_volume.J2_REBASE,) + vs.E.shape[2:], vs.E.dtype)]
+    Rs = []
     bf = None
-    for v in range(1, V):
-        Rv, bf = ncc_volume.build_rebased_view(vs.E[v], base_k, K)
+    for vi in range(vs.E.shape[0]):
+        Rv, bf = ncc_volume.build_rebased_view(vs.E[vi], base_k, K)
         Rs.append(Rv)
     return vs._replace(R=jnp.stack(Rs), base_k=bf)
 
@@ -387,8 +370,8 @@ def _cost_vector_volume(
     if vs.R is not None:
         outs = [
             ncc_volume.ncc_rebased_cost_view(
-                vs.R[v], vs.base_k, vs.E[v], vs.ref_pad, planes_cf,
-                vs.consts[v], vs.num_slices,
+                vs.R[v - 1], vs.base_k, vs.E[v - 1], vs.ref_pad, planes_cf,
+                vs.consts[v - 1], vs.num_slices,
                 radius=radius, increment=increment,
             )[:, :H, :W]
             for v in range(1, V)
@@ -396,7 +379,8 @@ def _cost_vector_volume(
     else:
         outs = [
             ncc_volume.ncc_volume_cost_view(
-                vs.E[v], vs.ref_pad, planes_cf, vs.consts[v], vs.num_slices,
+                vs.E[v - 1], vs.ref_pad, planes_cf, vs.consts[v - 1],
+                vs.num_slices,
                 radius=radius, increment=increment,
             )[:, :H, :W]
             for v in range(1, V)
@@ -574,13 +558,11 @@ def point_cost_volume(
     V = ctx.num_views
     costs = []
     oobs = []
-    for v in range(V):
-        if v == 0:
-            continue
+    for v in range(1, V):
         c = cvol.fetch_cost(
-            C[v], xs, ys, k, ncc_volume.PAD_Y, ncc_volume.PAD_X
+            C[v - 1], xs, ys, k, ncc_volume.PAD_Y, ncc_volume.PAD_X
         )
-        o = point_warp_oob(ctx, vs.consts[v, 0], dirs, u)
+        o = point_warp_oob(ctx, vs.consts[v - 1, 0], dirs, u)
         costs.append(jnp.where(o, COST_MAX, c))
         oobs.append(o)
     pad = jnp.full_like(costs[0], COST_MAX)
@@ -662,7 +644,8 @@ def cost_vector_full(
     V = ctx.num_views
     outs = [
         ncc_volume.ncc_volume_cost_view_fullk(
-            vs.E[v], vs.ref_pad, planes_cf, vs.consts[v], vs.num_slices,
+            vs.E[v - 1], vs.ref_pad, planes_cf, vs.consts[v - 1],
+            vs.num_slices,
             radius=radius, increment=increment,
         )[:, :H, :W]
         for v in range(1, V)
@@ -726,7 +709,7 @@ def _geom_cost_vector_volume(ctx: CostContext, plane: jax.Array) -> jax.Array:
     V = ctx.num_views
     outs = [
         ncc_volume.geom_volume_cost_view(
-            vs.D[v], planes_cf, vs.geom_consts[v], vs.num_slices
+            vs.D[v - 1], planes_cf, vs.geom_consts[v - 1], vs.num_slices
         )[:, :H, :W]
         for v in range(1, V)
     ]
@@ -807,10 +790,11 @@ def recost_selected_views(
 
 
 def view_consts(vs: VolumeSet) -> jax.Array:
-    """[V, NCONST] per-view warp consts. For spaced sets, shard 0's copy —
-    every field a consumer may read (intrinsics, M, b, src dims, u grid)
-    is shard-invariant; only row0 (index 20) differs per shard and must
-    not be read through this accessor."""
+    """[V-1, NCONST] per-SOURCE-view warp consts (slot v-1 = camera v).
+    For spaced sets, shard 0's copy — every field a consumer may read
+    (intrinsics, M, b, src dims, u grid) is shard-invariant; only row0
+    (index 20) differs per shard and must not be read through this
+    accessor."""
     return vs.consts[0, :, 0] if vs.consts.ndim == 4 else vs.consts[:, 0]
 
 
@@ -823,10 +807,15 @@ def view_geom_consts(vs: VolumeSet) -> jax.Array:
 
 
 def _space_geom(vs: VolumeSet):
-    """(S, V, Hs, Wp, Hp) of a spaced set."""
+    """(S, V, Hs, Wp, Hp) of a spaced set (V includes the ref view; the
+    set stores V-1 source-view slabs). Inside the combined view x space
+    manual context the set is one shard's LOCAL slab (leading axis 1), so
+    S comes from the registered mesh."""
     from apdmvs_tpu.ops import ncc_volume
+    from apdmvs_tpu.parallel import spaced as spmod
 
-    S, V = vs.E.shape[0], vs.E.shape[1]
+    S = spmod.space_size() if spmod.inside_space_context() else vs.E.shape[0]
+    V = vs.E.shape[1] + 1
     Hs = vs.E.shape[-2] - 2 * ncc_volume.PAD_Y
     Wp = vs.E.shape[-1] - 2 * ncc_volume.PAD_X
     return S, V, Hs, Wp, S * Hs
@@ -875,28 +864,11 @@ def build_volume_set_spaced(
         mode="edge",
     )
 
-    @_ft.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
-        out_specs=jax.tree.map(lambda _: P("space"), VolumeSet(
-            0, 0, 0,
-            D=0 if depth_maps is not None else None,
-            geom_consts=0 if depth_maps is not None else None,
-            C36=0 if weak_cost_volumes else None,
-            C9=0 if weak_cost_volumes else None,
-        )),
-        check_vma=False,
-    )
-    def build(images_, K0_, M_, b_, ref_g):
+    def build_body(images_, K0_, M_, b_, ref_g):
         s = jax.lax.axis_index("space")
         row0 = (s * Hs).astype(jnp.float32)
         Es, consts = [], []
-        for v in range(V):
-            if v == 0:
-                Es.append(jnp.zeros(
-                    (num_slices, Hs + 2 * PAD_Y, PWp), jnp.bfloat16))
-                consts.append(jnp.zeros((1, ncc_volume._NCONST), jnp.float32))
-                continue
+        for v in range(1, V):
             Es.append(vol.build_volume_pallas(
                 images_[v], M_[v], b_[v], K0_, Hs, Wp, u_min, du, num_slices,
                 pad_y=PAD_Y, pad_x=ncc_volume.PAD_X, dtype=jnp.bfloat16,
@@ -909,14 +881,12 @@ def build_volume_set_spaced(
         C36 = C9 = None
         if weak_cost_volumes:
             C36 = jnp.stack([
-                jnp.zeros_like(Es[0]) if v == 0 else
-                cvmod.build_cost_volume(Es[v], ref_slab, radius=5, increment=2)
-                for v in range(V)
+                cvmod.build_cost_volume(E, ref_slab, radius=5, increment=2)
+                for E in Es
             ])
             C9 = jnp.stack([
-                jnp.zeros_like(Es[0]) if v == 0 else
-                cvmod.build_cost_volume(Es[v], ref_slab, radius=5, increment=5)
-                for v in range(V)
+                cvmod.build_cost_volume(E, ref_slab, radius=5, increment=5)
+                for E in Es
             ])
         out = VolumeSet(
             E=jnp.stack(Es)[None],
@@ -930,9 +900,25 @@ def build_volume_set_spaced(
                 cams, depth_maps, u_min, du, num_slices, Hs, Wp, W, H, row0))
         return out
 
-    return build(
-        jnp.asarray(images, jnp.float32), cams.K[0], wc.M, wc.b, ref_pad_g
-    )
+    args = (jnp.asarray(images, jnp.float32), cams.K[0], wc.M, wc.b, ref_pad_g)
+    if spmod.inside_space_context():
+        # already inside a manual 'space' context (the combined
+        # view x space batched pass): the body's axis_index('space')
+        # resolves against it, and the result is this shard's LOCAL slab
+        return build_body(*args)
+    build = _ft.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=jax.tree.map(lambda _: P("space"), VolumeSet(
+            0, 0, 0,
+            D=0 if depth_maps is not None else None,
+            geom_consts=0 if depth_maps is not None else None,
+            C36=0 if weak_cost_volumes else None,
+            C9=0 if weak_cost_volumes else None,
+        )),
+        check_vma=False,
+    )(build_body)
+    return build(*args)
 
 
 def _spaced_depth_fields(cams, depth_maps, u_min, du, num_slices, Hs, Wp,
@@ -944,11 +930,7 @@ def _spaced_depth_fields(cams, depth_maps, u_min, du, num_slices, Hs, Wp,
     wc = geometry.warp_constants(cams)
     K_ref, R_ref = cams.K[0], cams.R[0]
     Ds, gconsts = [], []
-    for v in range(V):
-        if v == 0:
-            Ds.append(jnp.zeros((num_slices, Hs, Wp), jnp.float32))
-            gconsts.append(jnp.zeros((1, ncc_volume._NGEOM), jnp.float32))
-            continue
+    for v in range(1, V):
         Ds.append(vol.build_volume_pallas(
             depth_maps[v], wc.M[v], wc.b[v], cams.K[0], Hs, Wp, u_min, du,
             num_slices, pad_y=0, pad_x=0, dtype=jnp.float32, trunc=True,
@@ -993,7 +975,6 @@ def _spaced_grid_call(ctx: CostContext, plane: jax.Array, per_view_slab,
     from apdmvs_tpu.parallel import spaced as spmod
 
     vs = ctx.volumes
-    mesh = spmod.space_mesh()
     S, V, Hs, Wp, Hp = _space_geom(vs)
     H, W = ctx.height, ctx.width
     squeeze = plane.ndim == 3
@@ -1001,22 +982,42 @@ def _spaced_grid_call(ctx: CostContext, plane: jax.Array, per_view_slab,
         plane = plane[None]
     C = plane.shape[0]
     planes_cf = _pad_planes_cf(jnp.moveaxis(plane, -1, 1), Hp, Wp)
-    planes_sp = jnp.moveaxis(
-        planes_cf.reshape(C, 4, S, Hs, Wp), 2, 0)  # [S, C, 4, Hs, Wp]
 
-    vs_specs = jax.tree.map(lambda _: P("space"), vs)
+    if spmod.inside_space_context():
+        # combined view x space context: slab-split locally, evaluate this
+        # shard's rows, reassemble the full field with one 'space'
+        # all_gather (the same exchange the shard_map wrapper's sharded
+        # outputs imply when consumed replicated)
+        s = jax.lax.axis_index("space")
+        planes_l = jax.lax.dynamic_slice(
+            planes_cf, (0, 0, s * Hs, 0), (C, 4, Hs, Wp)
+        )
+        vloc = jax.tree.map(lambda x: x[0], vs)
+        outs = jnp.stack(
+            [per_view_slab(vloc, v, planes_l) for v in range(1, V)]
+        )  # [Vs, C, Hs, Wp]
+        out = jax.lax.all_gather(
+            outs, "space", axis=2, tiled=True
+        )  # [Vs, C, Hp, Wp]
+        out = out[:, :, :H, :W]
+    else:
+        mesh = spmod.space_mesh()
+        planes_sp = jnp.moveaxis(
+            planes_cf.reshape(C, 4, S, Hs, Wp), 2, 0)  # [S, C, 4, Hs, Wp]
 
-    @_ft.partial(
-        jax.shard_map, mesh=mesh, in_specs=(vs_specs, P("space")),
-        out_specs=P("space"), check_vma=False,
-    )
-    def body(vs_l, planes_l):
-        vloc = jax.tree.map(lambda x: x[0], vs_l)
-        outs = [per_view_slab(vloc, v, planes_l[0]) for v in range(1, V)]
-        return jnp.stack(outs)[None]  # [1, Vs, C, Hs, Wp]
+        vs_specs = jax.tree.map(lambda _: P("space"), vs)
 
-    out = body(vs, planes_sp)  # [S, Vs, C, Hs, Wp]
-    out = jnp.moveaxis(out, 0, 2).reshape(V - 1, C, Hp, Wp)[:, :, :H, :W]
+        @_ft.partial(
+            jax.shard_map, mesh=mesh, in_specs=(vs_specs, P("space")),
+            out_specs=P("space"), check_vma=False,
+        )
+        def body(vs_l, planes_l):
+            vloc = jax.tree.map(lambda x: x[0], vs_l)
+            outs = [per_view_slab(vloc, v, planes_l[0]) for v in range(1, V)]
+            return jnp.stack(outs)[None]  # [1, Vs, C, Hs, Wp]
+
+        out = body(vs, planes_sp)  # [S, Vs, C, Hs, Wp]
+        out = jnp.moveaxis(out, 0, 2).reshape(V - 1, C, Hp, Wp)[:, :, :H, :W]
     costs = jnp.concatenate(
         [jnp.full((1,) + out.shape[1:], cost_pad, jnp.float32), out]
     )
@@ -1034,11 +1035,12 @@ def _cost_vector_volume_spaced(ctx, plane, radius, increment):
     def per_view(vloc, v, planes_l):
         if vloc.R is not None:
             return ncc_volume.ncc_rebased_cost_view(
-                vloc.R[v], vloc.base_k, vloc.E[v], vloc.ref_pad, planes_l,
-                vloc.consts[v], nsl, radius=radius, increment=increment,
+                vloc.R[v - 1], vloc.base_k, vloc.E[v - 1], vloc.ref_pad,
+                planes_l, vloc.consts[v - 1], nsl,
+                radius=radius, increment=increment,
             )
         return ncc_volume.ncc_volume_cost_view(
-            vloc.E[v], vloc.ref_pad, planes_l, vloc.consts[v], nsl,
+            vloc.E[v - 1], vloc.ref_pad, planes_l, vloc.consts[v - 1], nsl,
             radius=radius, increment=increment,
         )
 
@@ -1053,7 +1055,7 @@ def _cost_vector_full_spaced(ctx, plane, radius, increment):
 
     def per_view(vloc, v, planes_l):
         return ncc_volume.ncc_volume_cost_view_fullk(
-            vloc.E[v], vloc.ref_pad, planes_l, vloc.consts[v], nsl,
+            vloc.E[v - 1], vloc.ref_pad, planes_l, vloc.consts[v - 1], nsl,
             radius=radius, increment=increment,
         )
 
@@ -1070,9 +1072,9 @@ def _geom_cost_vector_volume_spaced(ctx, plane):
         # geom depth slabs and planes_l share the unpadded (Hs, Wp) kernel
         # grid, so the plane slab feeds the kernel as-is (no slicing)
         return ncc_volume.geom_volume_cost_view(
-            vloc.D[v],
+            vloc.D[v - 1],
             planes_l,
-            vloc.geom_consts[v], nsl,
+            vloc.geom_consts[v - 1], nsl,
         )
 
     return _spaced_grid_call(ctx, plane, per_view, cost_pad=GEOM_COST_MAX)
@@ -1092,7 +1094,6 @@ def rebase_volume_set_spaced(vs: VolumeSet, cams: Cameras, depth: jax.Array) -> 
     if jax.default_backend() == "cpu":
         # spaced CPU slab calls route through the XLA mirrors; R is unused
         return vs
-    mesh = spmod.space_mesh()
     S, V, Hs, Wp, Hp = _space_geom(vs)
     u_min, du = vs.u_grid
     K = vs.num_slices
@@ -1105,26 +1106,29 @@ def rebase_volume_set_spaced(vs: VolumeSet, cams: Cameras, depth: jax.Array) -> 
         k, ((PAD_Y, Hp - H + PAD_Y), (PAD_X, Wp - W + PAD_X)), mode="edge"
     )
 
-    vs_specs = jax.tree.map(lambda _: P("space"), vs)
-
-    @_ft.partial(
-        jax.shard_map, mesh=mesh, in_specs=(vs_specs, P()),
-        out_specs=(P("space"), P("space")), check_vma=False,
-    )
     def body(vs_l, base_g_):
         s = jax.lax.axis_index("space")
         slab = jax.lax.dynamic_slice(
             base_g_, ((s * Hs).astype(jnp.int32), 0),
             (Hs + 2 * PAD_Y, Wp + 2 * PAD_X),
         )
-        Rs = [jnp.zeros((ncc_volume.J2_REBASE,) + vs_l.E.shape[3:], vs_l.E.dtype)]
+        Rs = []
         bf = None
-        for v in range(1, V):
-            Rv, bf = ncc_volume.build_rebased_view(vs_l.E[0, v], slab, K)
+        for vi in range(V - 1):
+            Rv, bf = ncc_volume.build_rebased_view(vs_l.E[0, vi], slab, K)
             Rs.append(Rv)
         return jnp.stack(Rs)[None], bf[None]
 
-    R, bf = body(vs, base_g)
+    if spmod.inside_space_context():
+        R, bf = body(vs, base_g)
+        return vs._replace(R=R, base_k=bf)
+
+    mesh = spmod.space_mesh()
+    vs_specs = jax.tree.map(lambda _: P("space"), vs)
+    R, bf = _ft.partial(
+        jax.shard_map, mesh=mesh, in_specs=(vs_specs, P()),
+        out_specs=(P("space"), P("space")), check_vma=False,
+    )(body)(vs, base_g)
     return vs._replace(R=R, base_k=bf)
 
 
@@ -1175,11 +1179,11 @@ def sweep_cost_vector(
     outs = []
     for v in range(1, V):
         Rv, bf = ncc_volume.build_rebased_view(
-            vs.E[v], base_k, K, j2=ncc_volume.SWEEP_J2
+            vs.E[v - 1], base_k, K, j2=ncc_volume.SWEEP_J2
         )
         outs.append(
             ncc_volume.ncc_rebased_sweep_cost_view(
-                Rv, bf, vs.E[v], vs.ref_pad, planes_cf, vs.consts[v],
+                Rv, bf, vs.E[v - 1], vs.ref_pad, planes_cf, vs.consts[v - 1],
                 K, radius=radius, increment=increment,
             )[:, :H, :W]
         )

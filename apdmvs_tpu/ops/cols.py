@@ -265,12 +265,11 @@ def gather_rows_sorted(
 
 
 def pack_volume_rows(C_vol: jax.Array) -> jax.Array:
-    """[V, K, PH, PW] cost/depth volume -> position-major row table
-    [PH * PW, (V-1) * K] (view 0 — the reference view — is never fetched).
-    """
-    V, K, PH, PW = C_vol.shape
-    t = jnp.moveaxis(C_vol[1:], (0, 1), (2, 3))  # [PH, PW, V-1, K]
-    return t.reshape(PH * PW, (V - 1) * K)
+    """[Vs, K, PH, PW] source-view cost/depth volume -> position-major row
+    table [PH * PW, Vs * K] (VolumeSet fields store source views only)."""
+    Vs, K, PH, PW = C_vol.shape
+    t = jnp.moveaxis(C_vol, (0, 1), (2, 3))  # [PH, PW, Vs, K]
+    return t.reshape(PH * PW, Vs * K)
 
 
 def flat_index(xs: jax.Array, ys: jax.Array, pad_y: int, pad_x: int, PH: int, PW: int):
@@ -310,3 +309,85 @@ def nearest_lookup(cols: jax.Array, k: jax.Array) -> jax.Array:
 def gather_rows_ref(table: jax.Array, idx: jax.Array) -> jax.Array:
     """XLA reference implementation of gather_rows (tests)."""
     return jnp.take(table, jnp.clip(idx, 0, table.shape[0] - 1), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Read-once multi-candidate contraction over TRANSPOSED column tables
+# ---------------------------------------------------------------------------
+#
+# The weak sweep evaluates ~10 candidate planes per call; tent_lookup on
+# the [Vs, N, K] tables re-reads the whole table per candidate (the
+# candidate axis broadcasts OUTSIDE the contraction), making the sweep
+# HBM-traffic bound (ROADMAP perf #3, round-4 profile). The kernel below
+# takes the TRANSPOSED layout [Vs, K, R] (positions in the 128-lane
+# dimension; one transpose per pass in build_weak_cols) and evaluates
+# ALL candidates per resident block: the table streams from HBM exactly
+# once per call regardless of B.
+#
+# Exactness vs the tent_lookup/nearest_lookup mirrors: the tent has
+# <= 2 adjacent nonzero weights (one-hot has 1) and x + 0.0 == x in fp,
+# so reduce order cannot change the result; the two products may fuse
+# into an FMA differently between lowerings (<= 1 ulp, test_cols).
+
+_CT_TR = 512  # positions per contraction block (lane dim; R % 128 == 0)
+
+
+def _contract_kernel(k_ref, cols_ref, out_ref, *, n_views, n_k, n_b, nearest, tr):
+    ki = jax.lax.broadcasted_iota(jnp.float32, (n_k, tr), 0)
+    cols = [cols_ref[v].astype(jnp.float32) for v in range(n_views)]
+    for b in range(n_b):
+        kb = jnp.clip(k_ref[b], 0.0, n_k - 1.0)[None, :]  # [1, TR]
+        if nearest:
+            w = (jnp.round(kb) == ki).astype(jnp.float32)
+        else:
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(kb - ki))
+        for v in range(n_views):
+            out_ref[b, v] = jnp.sum(cols[v] * w, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("nearest", "interpret"))
+def contract_lookup(
+    cols_t: jax.Array,  # [Vs, K, R] (R lane-major, R % 128 == 0)
+    k: jax.Array,  # [B, R] slice indices per candidate
+    nearest: bool = False,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """out[b, v, r] = tent/nearest contraction of cols_t[v, :, r] at
+    k[b, r] — all B candidates in one pass over the table."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Vs, K, R = cols_t.shape
+    B = k.shape[0]
+    if interpret is None:
+        if jax.default_backend() == "cpu":
+            look = nearest_lookup if nearest else tent_lookup
+            # mirror on the transposed layout: [Vs, K, R] -> [Vs, R, K]
+            return look(
+                jnp.moveaxis(cols_t, 1, -1)[None], k[:, None, :]
+            )
+        interpret = False
+    TR = min(_CT_TR, R)
+    Rp = ((R + TR - 1) // TR) * TR
+    if Rp != R:
+        cols_t = jnp.pad(cols_t, ((0, 0), (0, 0), (0, Rp - R)))
+        k = jnp.pad(k, ((0, 0), (0, Rp - R)))
+    kernel = functools.partial(
+        _contract_kernel, n_views=Vs, n_k=K, n_b=B, nearest=nearest, tr=TR
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Vs, Rp), jnp.float32),
+        grid=(Rp // TR,),
+        in_specs=[
+            pl.BlockSpec((B, TR), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (Vs, K, TR), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, Vs, TR), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(k.astype(jnp.float32), cols_t)
+    return out[..., :R]

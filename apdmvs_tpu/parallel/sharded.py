@@ -196,13 +196,13 @@ def _volume_batched_pass(
     use_geom: bool,
     num_slices: int,
     mesh: Mesh,
-    prebuilt=None,  # stacked image VolumeSet [N, ...] or None
+    prebuilt=None,  # stacked image VolumeSet [M, ...] per shard, or None
 ) -> pipeline.PassOutputs:
     """View-sharded batched pass on the Pallas volume fast path.
 
     Unlike :func:`_batched_pass` (vmap over problems), each view shard
     runs a ``lax.scan`` over its local problems: the per-problem volume
-    set ([V, K, PH, PW] image + cost volumes) comes from ``prebuilt``
+    set ([V-1, K, PH, PW] image + cost volumes) comes from ``prebuilt``
     (the once-per-scale stacked cache, build_batch_image_volumes) or is
     built *inside* the scan body, so at most ONE problem's transient
     volumes are live per device at a time — the memory-bounded
@@ -212,12 +212,22 @@ def _volume_batched_pass(
     reference's filesystem round-trip, APD.cpp:492-510, as one ICI
     collective). Depth volumes (geometric consistency) always build
     in-scan — they depend on the pass's current depth estimates.
+
+    ``prebuilt`` may cover only the FIRST M <= n_local problems of each
+    shard (the HBM-budgeted subset, scene.run_scene_batched): the scan
+    body fetches cached sets for i < M and rebuilds in-scan beyond —
+    safe at per-problem granularity here because the cache is fully
+    built BEFORE the pass, so a transient build is co-resident with the
+    pinned sets by construction and the caller budgets for it (unlike
+    the sequential SceneCache's all-or-nothing policy, scene.py).
     """
     from apdmvs_tpu import ncc
 
     P_view = P("view")
     n_prob = jax.tree.map(lambda _: P_view, prior)
     out_specs = jax.tree.map(lambda _: P_view, pipeline.PassOutputs(0, 0, 0, 0, 0))
+    n_local = prior.depth.shape[0] // mesh.shape["view"]
+    m_pre = 0 if prebuilt is None else prebuilt.E.shape[0] // mesh.shape["view"]
 
     def shard_body(
         images_l, cams_l, valid_l, prior_l, keys_l, rth_l, depths_l, srcidx_l,
@@ -230,31 +240,57 @@ def _volume_batched_pass(
         )
 
         def body(carry, xs):
-            images_i, cams_i, valid_i, prior_i, key_i, rth_i, srcidx_i, pb_i = xs
+            i = carry
+            images_i, cams_i, valid_i, prior_i, key_i, rth_i, srcidx_i = xs
             dmin = cams_i.depth_min[0]
             dmax = cams_i.depth_max[0]
             dm_i = (
                 jnp.take(depth_full, srcidx_i, axis=0) if use_geom else None
             )  # [V, H, W]
-            if pb_i is None:
-                vols = ncc.build_volume_set(
+
+            # with a partial cache the fetch/build cond branches must
+            # return ONE pytree structure, so the in-scan build mirrors
+            # the cached sets' weak_cost_volumes choice exactly
+            build_cv = (
+                cfg.use_APD if prebuilt_l is None else prebuilt_l.C36 is not None
+            )
+
+            def build(_):
+                return ncc.build_image_volume_set(
                     images_i, cams_i, dmin, dmax, num_slices=num_slices,
-                    depth_maps=dm_i, weak_cost_volumes=cfg.use_APD,
+                    weak_cost_volumes=build_cv,
+                )
+
+            if prebuilt_l is None:
+                vols = build(None)
+            elif m_pre >= n_local:
+                vols = jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(
+                        x, i, 0, keepdims=False
+                    ),
+                    prebuilt_l,
                 )
             else:
-                vols = pb_i
-                if use_geom:
-                    vols = ncc.add_depth_volumes(vols, dm_i, cams_i, dmin, dmax)
+                def fetch(_):
+                    return jax.tree.map(
+                        lambda x: jax.lax.dynamic_index_in_dim(
+                            x, jnp.minimum(i, m_pre - 1), 0, keepdims=False
+                        ),
+                        prebuilt_l,
+                    )
+
+                vols = jax.lax.cond(i < m_pre, fetch, build, None)
+            if use_geom:
+                vols = ncc.add_depth_volumes(vols, dm_i, cams_i, dmin, dmax)
             out = pipeline.patchmatch_pass_impl(
                 images_i, cams_i, valid_i, prior_i, key_i, cfg, rth_i,
                 depth_maps=dm_i, weak_capacity=weak_capacity, volumes=vols,
             )
-            return carry, out
+            return i + 1, out
 
         _, outs = jax.lax.scan(
-            body, 0,
-            (images_l, cams_l, valid_l, prior_l, keys_l, rth_l, srcidx_l,
-             prebuilt_l),
+            body, jnp.asarray(0, jnp.int32),
+            (images_l, cams_l, valid_l, prior_l, keys_l, rth_l, srcidx_l),
         )
         return outs
 
@@ -318,6 +354,90 @@ def _spaced_volume_batched_pass(
     return outs
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "weak_capacity", "use_geom", "num_slices", "mesh"),
+)
+def _composed_volume_batched_pass(
+    images: jax.Array,  # [N, V, H, W]
+    cams: Cameras,
+    src_valid: jax.Array,
+    prior: pipeline.PassState,
+    keys: jax.Array,
+    ransac_threshold: jax.Array,
+    all_depths: jax.Array,
+    src_index: jax.Array,
+    cfg: PassConfig,
+    weak_capacity: int,
+    use_geom: bool,
+    num_slices: int,
+    mesh: Mesh,
+) -> pipeline.PassOutputs:
+    """Volume fast path on a COMBINED (view > 1, space > 1) mesh: problems
+    shard over 'view' (each view-shard row scans its local problems,
+    exchanging depths with one 'view' all_gather), and within each problem
+    the volumes are per-space-shard haloed row slabs (round-5: the two
+    regimes compose — a pod reconstructing many large views needs both
+    axes at once; the reference needs neither, one process per GPU,
+    main.cpp:148-153).
+
+    Implementation: ONE shard_map with both axes manual; the spaced
+    helpers run in ``spaced.space_manual_context()`` mode, resolving
+    their axis_index('space') / 'space' collectives against this context
+    instead of entering their own shard_map (nesting shard_maps over
+    disjoint axis subsets segfaults on this JAX version). Every non-slab
+    array is replicated across the 'space' row, so outputs are identical
+    on all space shards of a view row (out_specs mention only 'view').
+    """
+    from apdmvs_tpu import ncc
+    from apdmvs_tpu.parallel import spaced as spmod
+
+    spmod.set_space_mesh(mesh)
+    P_view = P("view")
+    n_prob = jax.tree.map(lambda _: P_view, prior)
+    out_specs = jax.tree.map(lambda _: P_view, pipeline.PassOutputs(0, 0, 0, 0, 0))
+
+    def shard_body(
+        images_l, cams_l, valid_l, prior_l, keys_l, rth_l, depths_l, srcidx_l,
+    ):
+        depth_full = (
+            jax.lax.all_gather(depths_l, "view", axis=0, tiled=True)
+            if use_geom
+            else None
+        )
+
+        def body(carry, xs):
+            images_i, cams_i, valid_i, prior_i, key_i, rth_i, srcidx_i = xs
+            dm_i = jnp.take(depth_full, srcidx_i, axis=0) if use_geom else None
+            vols = ncc.build_volume_set_spaced(
+                images_i, cams_i, cams_i.depth_min[0], cams_i.depth_max[0],
+                mesh, num_slices=num_slices, depth_maps=dm_i,
+                weak_cost_volumes=cfg.use_APD,
+            )
+            out = pipeline.patchmatch_pass_impl(
+                images_i, cams_i, valid_i, prior_i, key_i, cfg, rth_i,
+                depth_maps=dm_i, weak_capacity=weak_capacity, volumes=vols,
+            )
+            return carry, out
+
+        _, outs = jax.lax.scan(
+            body, 0,
+            (images_l, cams_l, valid_l, prior_l, keys_l, rth_l, srcidx_l),
+        )
+        return outs
+
+    with spmod.space_manual_context():
+        return jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P_view, jax.tree.map(lambda _: P_view, cams), P_view,
+                      n_prob, P_view, P_view, P_view, P_view),
+            out_specs=out_specs,
+            check_vma=False,
+        )(images, cams, src_valid, prior, keys, ransac_threshold,
+          all_depths, src_index)
+
+
 def sharded_batch_pass(
     mesh: Mesh,
     images: jax.Array,
@@ -343,24 +463,22 @@ def sharded_batch_pass(
     index owning that view (slot 0 / padding -> own index; they are masked
     out by ``src_valid`` anyway).
 
-    ``use_volumes`` routes through :func:`_volume_batched_pass` (the Pallas
-    fast path, one problem's volumes resident per device at a time); it
-    requires a view-only mesh (space axis size 1) since volumes cover the
-    full image. ``prebuilt`` (from :func:`build_batch_image_volumes`)
-    supplies the stacked once-per-scale image-volume cache; without it the
-    scan rebuilds each problem's volumes every pass.
+    ``use_volumes`` routes by mesh shape: view-only meshes take
+    :func:`_volume_batched_pass` (full-image volumes, one problem's sets
+    resident per device at a time), space-only meshes take
+    :func:`_spaced_volume_batched_pass` (per-shard haloed row slabs), and
+    COMBINED (view > 1, space > 1) meshes take
+    :func:`_composed_volume_batched_pass` (problems over 'view', slabs
+    over 'space'). ``prebuilt`` (from :func:`build_batch_image_volumes`)
+    supplies the stacked once-per-scale image-volume cache for the
+    view-only path — it may cover just each shard's first M problems;
+    without it the scan rebuilds each problem's volumes every pass.
     """
     img_s, cams_s, prior_s, out_s = _batch_specs(mesh)
     use_geom = all_depths is not None
     N, V, H, W = images.shape
     spaced_vols = use_volumes and mesh.shape["space"] != 1
-    if spaced_vols and mesh.shape["view"] != 1:
-        raise ValueError(
-            "use_volumes with a space axis requires n_view == 1 (the "
-            "big-single-image regime runs problems sequentially with "
-            "space-sharded volume slabs); use n_space == 1 for the "
-            "many-problems regime"
-        )
+    composed_vols = spaced_vols and mesh.shape["view"] != 1
     if spaced_vols:
         from apdmvs_tpu.parallel import spaced as spmod
 
@@ -391,6 +509,12 @@ def sharded_batch_pass(
         src_index = put(jnp.zeros((N, V), jnp.int32), P("view", None))
 
     with mesh:
+        if composed_vols:
+            return _composed_volume_batched_pass(
+                images, cams, src_valid, prior, keys, ransac_threshold,
+                all_depths, src_index, cfg, weak_capacity, use_geom,
+                num_slices, mesh,
+            )
         if spaced_vols:
             return _spaced_volume_batched_pass(
                 images, cams, src_valid, prior, keys, ransac_threshold,

@@ -21,9 +21,11 @@ not a pytree leaf), so callers register it here before tracing:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 _MESH = None
+_INSIDE = False
 
 
 def set_space_mesh(mesh) -> None:
@@ -42,3 +44,28 @@ def space_mesh():
 
 def maybe_space_mesh() -> Optional[object]:
     return _MESH
+
+
+def space_size() -> int:
+    return dict(zip(space_mesh().axis_names, space_mesh().devices.shape))["space"]
+
+
+def inside_space_context() -> bool:
+    """True while tracing INSIDE a shard_map whose manual axes include
+    'space' (the combined view x space batched pass): the spaced helpers
+    then run their bodies directly — jax.lax.axis_index('space') and the
+    'space' collectives resolve against the enclosing manual context —
+    instead of entering their own shard_map (nesting shard_maps over
+    disjoint axis subsets segfaults on this JAX version; round 5)."""
+    return _INSIDE
+
+
+@contextlib.contextmanager
+def space_manual_context():
+    global _INSIDE
+    prev = _INSIDE
+    _INSIDE = True
+    try:
+        yield
+    finally:
+        _INSIDE = prev

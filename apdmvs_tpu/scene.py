@@ -750,18 +750,51 @@ def run_scene_batched(
                 PHp = ncc_mod._ceil_to(H, ncc_volume.NCC_TILE_H) + 2 * ncc_volume.PAD_Y
                 PWp = ncc_mod._ceil_to(W, ncc_volume.TILE_W) + 2 * ncc_volume.PAD_X
                 # E + C36 + C9, bf16 (ncc.build_image_volume_set layout)
-                per_problem = 3 * V * num_slices * PHp * PWp * 2
+                per_problem = 3 * (V - 1) * num_slices * PHp * PWp * 2
                 n_local = N // n_view_shards
-                if n_local * per_problem <= volume_cache_gb * 1e9:
+                # per-problem granularity: cache the first M local problems
+                # that fit the budget; the scan rebuilds the rest in-scan.
+                # When partial, reserve one set's worth for the transient
+                # in-scan build that is co-resident with the pinned cache.
+                m_fit = int(volume_cache_gb * 1e9 // per_problem)
+                if m_fit < n_local:
+                    m_fit = max(0, m_fit - 1)
+                m_fit = min(m_fit, n_local)
+                if m_fit < n_local and jax.process_count() > 1:
+                    # the subset gather below is host-local; multihost runs
+                    # keep the all-or-nothing policy
+                    m_fit = n_local if m_fit >= n_local else 0
+                if m_fit > 0:
                     img_s, cams_s, _, _ = _batch_specs(mesh)
-                    imgs = put_sharded(mesh, imgs, img_s)
-                    cams_b = jax.tree.map(
-                        lambda x, s: put_sharded(mesh, x, s), cams_b, cams_s,
+                    if m_fit < n_local:
+                        # each shard's first m_fit problems (problems are
+                        # sharded in contiguous blocks over the view axis)
+                        sub = np.concatenate([
+                            np.arange(s * n_local, s * n_local + m_fit)
+                            for s in range(n_view_shards)
+                        ])
+                        imgs_c = np.asarray(imgs)[sub]
+                        cams_c = jax.tree.map(
+                            lambda x: np.asarray(x)[sub], cams_b,
+                            is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+                        )
+                        if verbose and jax.process_index() == 0:
+                            print(
+                                f"volume cache: pinning {m_fit}/{n_local} "
+                                f"local problems ({per_problem/1e9:.2f} GB "
+                                f"each, budget {volume_cache_gb} GB); rest "
+                                "rebuild in-scan"
+                            )
+                    else:
+                        imgs_c, cams_c = imgs, cams_b
+                    imgs_c = put_sharded(mesh, imgs_c, img_s)
+                    cams_c = jax.tree.map(
+                        lambda x, s: put_sharded(mesh, x, s), cams_c, cams_s,
                         is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
                     )
                     with mesh:
                         prebuilt = parallel.build_batch_image_volumes(
-                            imgs, cams_b, num_slices, mesh,
+                            imgs_c, cams_c, num_slices, mesh,
                         )
                     vol_cache[(W, H)] = prebuilt
                 elif verbose and jax.process_index() == 0:

@@ -191,12 +191,18 @@ class WeakCols(NamedTuple):
     whole pass, so the scattered gathers are hoisted out of the iteration
     loop and every lookup becomes a dense contraction).
 
-    c36: [Vs, N, K] bf16 — C36 columns at the weak pixels (Vs = V - 1
+    Round 5: stored TRANSPOSED — positions in the minor (128-lane)
+    dimension — so the read-once contraction kernel
+    (ops/cols.contract_lookup) streams each table from HBM once per
+    multi-candidate evaluation instead of once per candidate (the sweep
+    was HBM-traffic bound re-reading the tables ~10x; ROADMAP perf #3).
+
+    c36: [Vs, K, N] bf16 — C36 columns at the weak pixels (Vs = V - 1
       source views; view v corresponds to slot v-1). Kept in the table's
-      bf16: the per-sweep tent contractions are HBM-traffic bound and the
-      values are bf16-quantized at the source anyway.
-    c9: [Vs, N, 8, K] bf16 — C9 columns at the anchors.
-    d: [Vs, N, K] f32 or None — depth-volume columns at the weak pixels
+      bf16: the values are bf16-quantized at the source anyway.
+    c9: [Vs, K, N * 8] bf16 — C9 columns at the anchors (minor index
+      r = n * 8 + anchor).
+    d: [Vs, K, N] f32 or None — depth-volume columns at the weak pixels
       (geometric-consistency passes; f32 — depths feed reprojection math).
     """
 
@@ -222,9 +228,7 @@ def _build_weak_cols_spaced(
     from apdmvs_tpu.parallel import spaced as spmod
 
     vs = ctx.volumes
-    mesh = spmod.space_mesh()
-    V = vs.E.shape[1]
-    Vs = V - 1
+    Vs = vs.E.shape[1]
     K = vs.num_slices
     hs = vs.C36.shape[-2]  # Hs + 2*PAD_Y
     PWp = vs.C36.shape[-1]
@@ -241,13 +245,6 @@ def _build_weak_cols_spaced(
         rows = colsmod.gather_rows(colsmod.pack_volume_rows(table_vol), idx)
         return jnp.where(owned.reshape(-1)[:, None], rows, 0)
 
-    vs_specs = jax.tree.map(lambda _: P("space"), vs)
-
-    @_ft.partial(
-        jax.shard_map, mesh=mesh, in_specs=(vs_specs, P(), P()),
-        out_specs=(P(), P(), P() if vs.D is not None else None),
-        check_vma=False,
-    )
     def body(vs_l, wxy, a_):
         s = jax.lax.axis_index("space")
         vloc = jax.tree.map(lambda x: x[0], vs_l)
@@ -270,11 +267,20 @@ def _build_weak_cols_spaced(
             d = jax.lax.psum(d, "space")
         return c36, c9, d
 
-    c36, c9, d = body(vs, weak_xy, a)
-    c36 = jnp.moveaxis(c36.reshape(N, Vs, K), 1, 0)
-    c9 = jnp.moveaxis(c9.reshape(N, _NUM_ANCHORS, Vs, K), 2, 0)
+    if spmod.inside_space_context():
+        c36, c9, d = body(vs, weak_xy, a)
+    else:
+        mesh = spmod.space_mesh()
+        vs_specs = jax.tree.map(lambda _: P("space"), vs)
+        c36, c9, d = _ft.partial(
+            jax.shard_map, mesh=mesh, in_specs=(vs_specs, P(), P()),
+            out_specs=(P(), P(), P() if vs.D is not None else None),
+            check_vma=False,
+        )(body)(vs, weak_xy, a)
+    c36 = jnp.transpose(c36.reshape(N, Vs, K), (1, 2, 0))
+    c9 = jnp.transpose(c9.reshape(N * _NUM_ANCHORS, Vs, K), (1, 2, 0))
     if d is not None:
-        d = jnp.moveaxis(d.reshape(N, Vs, K), 1, 0).astype(jnp.float32)
+        d = jnp.transpose(d.reshape(N, Vs, K), (1, 2, 0)).astype(jnp.float32)
     return WeakCols(c36=c36, c9=c9, d=d)
 
 
@@ -287,8 +293,7 @@ def build_weak_cols(
     vs = ctx.volumes
     if vs.spaced:
         return _build_weak_cols_spaced(ctx, weak_xy, anchors)
-    V, K = vs.C36.shape[0], vs.C36.shape[1]
-    Vs = V - 1
+    Vs, K = vs.C36.shape[0], vs.C36.shape[1]
     PH, PW = vs.C36.shape[2], vs.C36.shape[3]
     N = weak_xy.shape[0]
 
@@ -304,21 +309,21 @@ def build_weak_cols(
         weak_xy[..., 0], weak_xy[..., 1], ncc_volume.PAD_Y, ncc_volume.PAD_X, PH, PW
     )
     c36 = colsmod.gather_rows(colsmod.pack_volume_rows(vs.C36), idx_c)
-    c36 = jnp.moveaxis(c36.reshape(N, Vs, K), 1, 0)
+    c36 = jnp.transpose(c36.reshape(N, Vs, K), (1, 2, 0))
 
     a = anchors.coords[:, 1:]  # [N, 8, 2]
     idx_a = colsmod.flat_index(
         a[..., 0], a[..., 1], ncc_volume.PAD_Y, ncc_volume.PAD_X, PH, PW
     ).reshape(-1)
     c9 = colsmod.gather_rows(colsmod.pack_volume_rows(vs.C9), idx_a)
-    c9 = jnp.moveaxis(c9.reshape(N, _NUM_ANCHORS, Vs, K), 2, 0)
+    c9 = jnp.transpose(c9.reshape(N * _NUM_ANCHORS, Vs, K), (1, 2, 0))
 
     d = None
     if vs.D is not None:
         DH, DW = vs.D.shape[2], vs.D.shape[3]
         idx_d = colsmod.flat_index(weak_xy[..., 0], weak_xy[..., 1], 0, 0, DH, DW)
         d = colsmod.gather_rows(colsmod.pack_volume_rows(vs.D), idx_d)
-        d = jnp.moveaxis(d.reshape(N, Vs, K), 1, 0).astype(jnp.float32)
+        d = jnp.transpose(d.reshape(N, Vs, K), (1, 2, 0)).astype(jnp.float32)
     return WeakCols(c36=c36, c9=c9, d=d)
 
 
@@ -741,7 +746,7 @@ def _warp_oob_batched(
     inverse depths (plane-dependent). Returns [B, Vs, *pos] bool.
     Same math as ncc.point_warp_oob (texture-bounds policy, APD.cu:546-556).
     """
-    cons = ncc.view_consts(ctx.volumes)[1:]  # [Vs, NC]
+    cons = ncc.view_consts(ctx.volumes)  # [Vs, NC] (source views)
     b = cons[:, 15:18]
     src_w = cons[:, 18]
     src_h = cons[:, 19]
@@ -787,14 +792,14 @@ def _deformed_cost_vector_cols(
     a = anchors.coords[:, 1:]  # [N, 8, 2]
     valid = a[..., 0] >= 0
 
-    cons = ncc.view_consts(vs)[1:]  # [Vs, NC]
+    cons = ncc.view_consts(vs)  # [Vs, NC] (source views)
     M = cons[:, 6:15].reshape(-1, 3, 3)
 
     # ---- center term ----
     dirs_c = geometry.pixel_dirs(ctx.cams.K[0], wx, wy)  # [N, 3]
     u_c = -jnp.einsum("bnc,nc->bn", p[..., :3], dirs_c) / p[..., 3]  # [B, N]
     k_c = (u_c - u_min) / du
-    center = colsmod.tent_lookup(wcols.c36, k_c[:, None, :])  # [B, Vs, N]
+    center = colsmod.contract_lookup(wcols.c36, k_c)  # [B, Vs, N]
     Md_c = jnp.einsum("vij,nj->vni", M, dirs_c)  # [Vs, N, 3]
     oob_c = _warp_oob_batched(ctx, Md_c, u_c)  # [B, Vs, N]
     center = jnp.where(oob_c, COST_MAX, center)
@@ -805,7 +810,9 @@ def _deformed_cost_vector_cols(
     )  # [N, 8, 3]
     u_a = -jnp.einsum("bnc,nac->bna", p[..., :3], adirs) / p[..., 3:4]  # [B, N, 8]
     k_a = (u_a - u_min) / du
-    a_val = colsmod.tent_lookup(wcols.c9, k_a[:, None, :, :])  # [B, Vs, N, 8]
+    a_val = colsmod.contract_lookup(
+        wcols.c9, k_a.reshape(B, N * _NUM_ANCHORS)
+    ).reshape(B, -1, N, _NUM_ANCHORS)  # [B, Vs, N, 8]
     Md_a = jnp.einsum("vij,naj->vnai", M, adirs)  # [Vs, N, 8, 3]
     a_oob = _warp_oob_batched(ctx, Md_a, u_a)  # [B, Vs, N, 8]
 
@@ -851,7 +858,7 @@ def _geom_cost_vector_cols(
     wy = weak_xy[..., 1].astype(jnp.float32)
     dirs_c = geometry.pixel_dirs(ctx.cams.K[0], wx, wy)  # [N, 3]
 
-    g = ncc.view_geom_consts(vs)[1:]  # [Vs, _NGEOM]
+    g = ncc.view_geom_consts(vs)  # [Vs, _NGEOM] (source views)
     M = g[:, 6:15].reshape(-1, 3, 3)
     b = g[:, 15:18]
     A = g[:, 18:27].reshape(-1, 3, 3)
@@ -861,7 +868,7 @@ def _geom_cost_vector_cols(
 
     u = -jnp.einsum("bnc,nc->bn", p[..., :3], dirs_c) / p[..., 3]  # [B, N]
     k = (u - u_min) / du
-    sd = colsmod.nearest_lookup(wcols.d, k[:, None, :])  # [B, Vs, N]
+    sd = colsmod.contract_lookup(wcols.d, k, nearest=True)  # [B, Vs, N]
 
     Md = jnp.einsum("vij,nj->vni", M, dirs_c)  # [Vs, N, 3]
     q = Md[None] + b[None, :, None, :] * u[:, None, :, None]  # [B, Vs, N, 3]

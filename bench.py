@@ -133,12 +133,12 @@ def main() -> None:
 
     def build_image_vols():
         vs = ncc.build_image_volume_set(imgs, gc, dmin, dmax, num_slices=160)
-        np.asarray(vs.E[1, 0, 0])  # force completion (axon: PERF_NOTES.md)
+        np.asarray(vs.E[0, 0, 0])  # force completion (axon: PERF_NOTES.md)
         return vs
 
     def build_depth_vols(vs):
         out = ncc.add_depth_volumes(vs, dm, gc, dmin, dmax)
-        np.asarray(out.D[1, 0, 0])
+        np.asarray(out.D[0, 0, 0])
         return out
 
     # compile + warm both builders, then time them
@@ -208,19 +208,27 @@ def main() -> None:
         from apdmvs_tpu.ops import ncc_volume
         from apdmvs_tpu.ncc import _ceil_to
 
-        # clamp the batch so the stacked prebuilt cache + one problem's
-        # transient depth volumes fit the HBM budget (same gate as
-        # scene.run_scene_batched; a VGA 5-view set is ~2.1 GB/problem)
+        # budget the prebuilt cache like scene.run_scene_batched: pin the
+        # first M problems' sets that fit 6 GB (minus one transient
+        # in-scan build when partial); the scan rebuilds the rest. The
+        # problem COUNT is no longer clamped (round-5: per-problem cache
+        # granularity + the view-0 plane drop).
         PHp = _ceil_to(H, ncc_volume.NCC_TILE_H) + 2 * ncc_volume.PAD_Y
         PWp = _ceil_to(W, ncc_volume.TILE_W) + 2 * ncc_volume.PAD_X
-        per_problem = 3 * V * 160 * PHp * PWp * 2
+        per_problem = 3 * (V - 1) * 160 * PHp * PWp * 2
         n_devices = len(jax.devices())
-        fit = max(1, int(6e9 // per_problem)) * n_devices
-        N = min(args.batched_problems, fit)
-        if N < args.batched_problems:
+        N = args.batched_problems
+        n_local = max(1, N // n_devices)
+        m_fit = int(6e9 // per_problem)
+        if m_fit < n_local:
+            m_fit = max(0, m_fit - 1)
+        m_fit = min(m_fit, n_local)
+        M = m_fit * n_devices
+        if M < N:
             print(
-                f"batched row: clamping {args.batched_problems} -> {N} "
-                f"problems ({per_problem/1e9:.2f} GB/problem prebuilt cache)",
+                f"batched row: pinning {M}/{N} problems' volume sets "
+                f"({per_problem/1e9:.2f} GB each; 6 GB budget), rest "
+                "rebuild in-scan",
                 file=sys.stderr,
             )
         mesh = parallel.make_mesh(n_space=1)
@@ -243,11 +251,18 @@ def main() -> None:
         src_index = jnp.zeros((N, V), jnp.int32)
 
         def build_prebuilt():
+            if M == 0:
+                return None
+            imgs_m = jax.tree.map(lambda x: x[:M], imgs_b)
+            gc_m = jax.tree.map(
+                lambda x: x[:M], gc_b,
+                is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+            )
             with mesh:
                 pb = parallel.build_batch_image_volumes(
-                    imgs_b, gc_b, 160, mesh,
+                    imgs_m, gc_m, 160, mesh,
                 )
-            np.asarray(pb.E[0, 1, 0, 0])
+            np.asarray(pb.E[0, 0, 0, 0])
             return pb
 
         pb = build_prebuilt()  # compile + warmup

@@ -63,7 +63,7 @@ def main():
     vs = ncc.build_image_volume_set(
         imgs, gc, 1.2, 9.6, num_slices=160, weak_cost_volumes=False
     )
-    np.asarray(vs.E[1, 0, 0])
+    np.asarray(vs.E[0, 0, 0])
 
     # realistic candidate planes: the scene's depth/normal planes + shifts
     pl0 = geometry.depth_normal_to_planes(
@@ -92,7 +92,7 @@ def main():
     )
     timeit(
         f"ncc_volume_cost_view (C={C}, 1 view)",
-        lambda: call(vs.E[1], vs.ref_pad, planes_cf, vs.consts[1]),
+        lambda: call(vs.E[0], vs.ref_pad, planes_cf, vs.consts[0]),
     )
 
     if hasattr(ncc, "rebase_volume_set"):
@@ -111,11 +111,11 @@ def main():
         out_rb = timeit(
             f"ncc_rebased_cost_view (C={C}, 1 view)",
             lambda: call_rb(
-                vs_rb.R[1], vs_rb.base_k, vs.E[1], vs.ref_pad, planes_cf,
-                vs.consts[1],
+                vs_rb.R[0], vs_rb.base_k, vs.E[0], vs.ref_pad, planes_cf,
+                vs.consts[0],
             ),
         )
-        out = call(vs.E[1], vs.ref_pad, planes_cf, vs.consts[1])
+        out = call(vs.E[0], vs.ref_pad, planes_cf, vs.consts[0])
         d = np.abs(np.asarray(out) - np.asarray(out_rb))
         print(f"rebased vs direct: max|diff| {d.max():.2e}  mean {d.mean():.2e}")
 

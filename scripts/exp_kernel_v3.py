@@ -316,7 +316,7 @@ def main():
     vs = ncc.build_image_volume_set(
         imgs, gc, 1.2, 9.6, num_slices=160, weak_cost_volumes=False
     )
-    np.asarray(vs.E[1, 0, 0])
+    np.asarray(vs.E[0, 0, 0])
 
     pl0 = geometry.depth_normal_to_planes(
         gc, jnp.asarray(depths[0]), jnp.asarray(normals[0]), H, W
@@ -339,7 +339,7 @@ def main():
     d0 = jnp.asarray(depths[0])
     vs_rb = ncc.rebase_volume_set(vs, gc, d0)
     np.asarray(vs_rb.R[1, 0, 0])
-    Rv, bfv = vs_rb.R[1], vs_rb.base_k
+    Rv, bfv = vs_rb.R[0], vs_rb.base_k
     j2 = ncc_volume.J2_REBASE
 
     # A: current rebased (incl. fixup dispatch)
@@ -350,53 +350,53 @@ def main():
     )
     out_a = timeit(
         "A  current rebased (hot + fixup)",
-        lambda: call_a(Rv, bfv, vs.E[1], vs.ref_pad, pcf, vs.consts[1]),
+        lambda: call_a(Rv, bfv, vs.E[0], vs.ref_pad, pcf, vs.consts[0]),
     )
 
     out_b = timeit(
         "B  static full band (c0=0, band=j2)",
-        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[1], 160, j2),
+        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[0], 160, j2),
     )
     out_c = timeit(
         "C  B + shared loads (group=9)",
-        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[1], 160, j2,
+        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[0], 160, j2,
                            shared_loads=True, group=9),
     )
     out_d = timeit(
         "D  B + shared loads (group=3)",
-        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[1], 160, j2,
+        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[0], 160, j2,
                            shared_loads=True, group=3),
     )
     out_f = timeit(
         "F  shared loads (group=3) TILE_H=32",
-        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[1], 160, j2,
+        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[0], 160, j2,
                            shared_loads=True, group=3, tile_h=32),
     )
     out_f16 = timeit(
         "F' shared loads (group=3) TILE_H=16",
-        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[1], 160, j2,
+        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[0], 160, j2,
                            shared_loads=True, group=3, tile_h=16),
     )
 
     out_g = timeit(
         "G  narrow band 8, group=3, TILE_H=32",
-        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[1], 160, j2,
+        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[0], 160, j2,
                            shared_loads=True, group=3, tile_h=32, band=8),
     )
     out_h = timeit(
         "H  G + escape-flag reductions",
-        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[1], 160, j2,
+        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[0], 160, j2,
                            shared_loads=True, group=3, tile_h=32, band=8,
                            flag_escapes=True),
     )
     out_g9 = timeit(
         "G9 narrow band 8, group=9, TILE_H=32",
-        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[1], 160, j2,
+        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[0], 160, j2,
                            shared_loads=True, group=9, tile_h=32, band=8),
     )
     out_g12 = timeit(
         "G12 band 12, group=3, TILE_H=32",
-        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[1], 160, j2,
+        lambda: rb_variant(Rv, bfv, vs.ref_pad, pcf, vs.consts[0], 160, j2,
                            shared_loads=True, group=3, tile_h=32, band=12),
     )
 

@@ -51,7 +51,7 @@ e_only = timeit("E-only build", lambda: ncc.build_volume_set(
     imgs, gc, 1.2, 9.6, num_slices=K, depth_maps=None, weak_cost_volumes=False))
 
 # isolated C volume build from a fixed E
-E1 = img_only.E[1]
+E1 = img_only.E[0]
 refp = img_only.ref_pad
 c36 = timeit("one C36 build (per view)", lambda: cv.build_cost_volume(E1, refp, radius=5, increment=2))
 

@@ -56,6 +56,40 @@ def test_tent_and_nearest_lookup():
     np.testing.assert_allclose(gotn, wantn)
 
 
+def test_contract_lookup_kernel_matches_mirror():
+    """The read-once multi-candidate contraction kernel (interpret mode)
+    must match the tent/nearest mirrors on the transposed layout to
+    <= 1 ulp (the tent's two products may fuse into an FMA differently
+    between the lowerings; the sum itself has <= 2 nonzero terms, so
+    order cannot change it). Nearest (one-hot, a single product) must be
+    exact (round-5 ROADMAP perf #3 kernel)."""
+    rng = np.random.RandomState(5)
+    Vs, K, R, B = 3, 24, 640, 5
+    cols_t = jnp.asarray(rng.rand(Vs, K, R).astype(np.float32))
+    k = jnp.asarray((rng.rand(B, R) * 30.0 - 3.0).astype(np.float32))
+    mirror = colsmod.tent_lookup(
+        jnp.moveaxis(cols_t, 1, -1)[None], k[:, None, :]
+    )
+    got = np.asarray(colsmod.contract_lookup(cols_t, k, interpret=True))
+    np.testing.assert_allclose(got, np.asarray(mirror), rtol=0, atol=1.2e-7)
+    mirror_n = colsmod.nearest_lookup(
+        jnp.moveaxis(cols_t, 1, -1)[None], k[:, None, :]
+    )
+    got_n = np.asarray(
+        colsmod.contract_lookup(cols_t, k, nearest=True, interpret=True)
+    )
+    np.testing.assert_array_equal(got_n, np.asarray(mirror_n))
+    # bf16 table (the production c36/c9 dtype)
+    cols_b = cols_t.astype(jnp.bfloat16)
+    mirror_b = colsmod.tent_lookup(
+        jnp.moveaxis(cols_b, 1, -1)[None], k[:, None, :]
+    )
+    got_b = np.asarray(colsmod.contract_lookup(cols_b, k, interpret=True))
+    np.testing.assert_allclose(
+        got_b, np.asarray(mirror_b), rtol=0, atol=1.2e-7
+    )
+
+
 def _scene(H=96, W=256, V=3):
     cams, planes = synthetic.make_ring_scene(
         num_views=V, width=W, height=H, include_flat_region=True

@@ -101,6 +101,49 @@ def test_run_scene_end_to_end(scene_dir):
     assert c2.shape[0] == coords.shape[0]
 
 
+def test_blocks_mask_file_suppresses_ref_pixels(scene_dir):
+    """A real blocks/mask_<id>.jpg ROI file must be picked up by
+    run_fusion (scene.py block_path; reference APD.cpp:848-852): masked
+    reference pixels of that view emit no points, an all-keep mask is a
+    byte-level no-op. Runs after test_run_scene_end_to_end so the
+    per-view state files exist (module-scoped scene_dir)."""
+    import shutil
+
+    from apdmvs_tpu.io import images as imio
+
+    folder, cams, planes = scene_dir
+    if not os.path.exists(os.path.join(folder, "APD", "00000000", "depths.dmb")):
+        scene.run_scene(folder, seed=0, verbose=False)
+    problems = scene.generate_sample_list(folder)
+    base_ply = scene.run_fusion(folder, problems, out_name="APD_nomask.ply")
+    base, _ = formats.read_point_cloud(base_ply)
+
+    blocks = os.path.join(folder, "blocks")
+    os.makedirs(blocks, exist_ok=True)
+    try:
+        # all-keep mask: identical output
+        imio.save_image_u8(
+            os.path.join(blocks, "mask_0.jpg"),
+            np.full((120, 160), 255, np.uint8),
+        )
+        keep_ply = scene.run_fusion(folder, problems, out_name="APD_keep.ply")
+        keep, _ = formats.read_point_cloud(keep_ply)
+        assert keep.shape == base.shape
+        np.testing.assert_array_equal(keep, base)
+
+        # half mask on view 0: its masked ref pixels emit nothing
+        m = np.full((120, 160), 255, np.uint8)
+        m[:, : 160 // 2] = 0
+        imio.save_image_u8(os.path.join(blocks, "mask_0.jpg"), m)
+        half_ply = scene.run_fusion(folder, problems, out_name="APD_half.ply")
+        half, _ = formats.read_point_cloud(half_ply)
+        # view-0's masked half lost its ref-pixel emissions
+        lost = base.shape[0] - half.shape[0]
+        assert lost > 100, (half.shape, base.shape)
+    finally:
+        shutil.rmtree(blocks, ignore_errors=True)
+
+
 def test_missing_prior_fails_loudly(tmp_path):
     """A non-FIRST_INIT pass without prior state files must raise (the
     reference exits, APD.cpp:514-518); allow_missing_prior restores the

@@ -238,3 +238,37 @@ def test_prebuilt_volumes_match_in_scan(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(out_pb),
                     jax.tree_util.tree_leaves(out_scan)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # PARTIAL cache (round-5 per-problem granularity): a 2-view-shard mesh
+    # with each shard's FIRST problem cached and the second rebuilt
+    # in-scan must still be bit-identical to the full in-scan run
+    mesh2 = parallel.make_mesh(n_view=2, n_space=1)
+    img_s2, cams_s2, _, _ = _batch_specs(mesh2)
+    imgs_d2 = put_sharded(mesh2, jnp.asarray(imgs_b), img_s2)
+    cams_d2 = jax.tree.map(
+        lambda x, s: put_sharded(mesh2, x, s), cams_b, cams_s2,
+        is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+    )
+    sub = np.asarray([0, 2])  # each shard's first local problem (n_local=2)
+    imgs_sub = put_sharded(mesh2, jnp.asarray(imgs_b[sub]), img_s2)
+    cams_sub = jax.tree.map(
+        lambda x, s: put_sharded(mesh2, jnp.asarray(np.asarray(x)[sub]), s),
+        cams_b, cams_s2,
+        is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+    )
+    with mesh2:
+        pb_part = parallel.build_batch_image_volumes(
+            imgs_sub, cams_sub, 64, mesh2, weak_cost_volumes=False,
+        )
+    out_part = parallel.sharded_batch_pass(
+        mesh2, imgs_d2, cams_d2, jnp.asarray(src_valid), prior, keys, rth,
+        cfg, weak_capacity=0, use_volumes=True, num_slices=64,
+        prebuilt=pb_part,
+    )
+    out_scan2 = parallel.sharded_batch_pass(
+        mesh2, imgs_d2, cams_d2, jnp.asarray(src_valid), prior, keys, rth,
+        cfg, weak_capacity=0, use_volumes=True, num_slices=64,
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(out_part),
+                    jax.tree_util.tree_leaves(out_scan2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

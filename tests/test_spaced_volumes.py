@@ -193,3 +193,71 @@ def test_spaced_batched_pass_matches_unsharded_volumes():
     d4 = np.asarray(outs[4].depth[0])
     same = np.isclose(d1, d4, rtol=2e-3, atol=2e-3)
     assert same.mean() > 0.995, same.mean()
+
+
+def test_composed_view_space_volumes_match_unsharded():
+    """sharded_batch_pass with use_volumes on a COMBINED (view=2, space=2)
+    mesh — problems sharded over 'view', each problem's volumes spaced
+    row slabs over 'space' (round-5: the two regimes compose inside one
+    shard_map; VERDICT r4 item 4) — matches the (view=1, space=1)
+    unsharded volume path at the decision level (same bf16-quantum caveat
+    as the other spaced tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    from apdmvs_tpu import geometry, parallel, pipeline
+    from apdmvs_tpu.params import PassConfig, PixelState, RunState
+
+    images, depths, normals, gc, src_valid = _scene(num_views=4)
+    V, H, W = images.shape
+    N = 2
+    # two problems: ref views 0 and 1 (view sets rotated)
+    orders = [[0, 1, 2, 3], [1, 2, 3, 0]]
+    imgs_b = jnp.asarray(np.stack([images[o] for o in orders]))
+    cams_b = jax.tree.map(
+        lambda x: jnp.stack([jnp.asarray(np.asarray(x)[o]) for o in orders]),
+        gc,
+        is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+    )
+    sv_b = jnp.broadcast_to(jnp.asarray(src_valid), (N, V))
+    ps = np.full((N, H, W), PixelState.STRONG, np.uint8)
+    ps[:, H // 3 : 2 * H // 3, W // 3 : 2 * W // 3] = PixelState.WEAK
+    prior = pipeline.PassState(
+        depth=jnp.asarray(depths[:N]),
+        normal_world=jnp.asarray(normals[:N]),
+        pixel_state=jnp.asarray(ps),
+        selected=jnp.broadcast_to(
+            jnp.asarray(np.asarray(src_valid))[None, :, None, None],
+            (N, V, H, W),
+        ),
+    )
+    cfg = PassConfig(
+        state=RunState.REFINE_ITER, geom_consistency=True, use_APD=True,
+        max_iterations=1, weak_peak_radius=4,
+    )
+    keys = jnp.stack([jax.random.PRNGKey(11), jax.random.PRNGKey(12)])
+    rth = jnp.full((N,), 0.00875, jnp.float32)
+    all_depths = jnp.asarray(depths[:N])
+    src_index = jnp.asarray(np.asarray(orders, np.int32) % N)
+
+    outs = {}
+    for n_view, n_space in ((1, 1), (2, 2)):
+        mesh = parallel.make_mesh(n_view=n_view, n_space=n_space)
+        outs[(n_view, n_space)] = jax.block_until_ready(
+            parallel.sharded_batch_pass(
+                mesh, imgs_b, cams_b, sv_b, prior, keys, rth, cfg,
+                weak_capacity=2048, all_depths=all_depths,
+                src_index=src_index, use_volumes=True, num_slices=48,
+            )
+        )
+
+    ref = outs[(1, 1)]
+    got = outs[(2, 2)]
+    for i in range(N):
+        ps1 = np.asarray(ref.pixel_state[i])
+        ps2 = np.asarray(got.pixel_state[i])
+        assert np.mean(ps1 == ps2) > 0.999, (i, np.mean(ps1 == ps2))
+        d1 = np.asarray(ref.depth[i])
+        d2 = np.asarray(got.depth[i])
+        same = np.isclose(d1, d2, rtol=2e-3, atol=2e-3)
+        assert same.mean() > 0.995, (i, same.mean())
