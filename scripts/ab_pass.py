@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--views", type=int, default=5)
+    ap.add_argument(
+        "--slices", type=int, default=160,
+        help="volume slice count (128 fits one 16 GB chip at >= 1100 px)",
+    )
     args = ap.parse_args()
     values = args.values.split(",")
 
@@ -65,9 +69,13 @@ def main():
         state=RunState.REFINE_ITER, geom_consistency=True, use_APD=True,
         max_iterations=3, weak_peak_radius=4,
     )
+    from apdmvs_tpu.scene import _bucket_capacity
+
+    weak_capacity = _bucket_capacity((H // 4) * (W // 4), H * W)
     dm = jnp.asarray(depths)
     vols = ncc.build_volume_set(
-        jnp.asarray(images), gc, 1.2, 9.6, num_slices=160, depth_maps=dm
+        jnp.asarray(images), gc, 1.2, 9.6, num_slices=args.slices,
+        depth_maps=dm,
     )
     images_j = jnp.asarray(images)
     sv_j = jnp.asarray(src_valid)
@@ -99,7 +107,7 @@ def main():
         # compile + warm under this env value
         out = fn(
             images_j, gc, sv_j, prior, jax.random.PRNGKey(0), cfg, thr,
-            depth_maps=dm, weak_capacity=24576, volumes=vols,
+            depth_maps=dm, weak_capacity=weak_capacity, volumes=vols,
         )
         outs[val] = np.asarray(out.depth)
         fns[val] = fn
@@ -117,7 +125,7 @@ def main():
             t0 = time.perf_counter()
             out = fns[val](
                 images_j, gc, sv_j, prior, jax.random.PRNGKey(rep + 1), cfg,
-                thr, depth_maps=dm, weak_capacity=24576, volumes=vols,
+                thr, depth_maps=dm, weak_capacity=weak_capacity, volumes=vols,
             )
             np.asarray(out.depth)
             dt = (time.perf_counter() - t0) * 1e3
