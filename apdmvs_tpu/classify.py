@@ -32,6 +32,12 @@ from apdmvs_tpu.params import PassConfig, PixelState
 #: jax.jit wrappers per variant (scripts/ab_pass.py).
 USE_SWEEP = os.environ.get("APDMVS_SWEEP", "1") == "1"
 
+#: Disparity steps per sweep-evaluator chunk (each chunk rebases on its
+#: own mid step; the rebase window ncc_volume.SWEEP_J2 must cover
+#: (chunk/2) * delta + band — pair APDMVS_SWEEP_CHUNK=16 with
+#: APDMVS_SWEEP_J2=81). Env-at-import like USE_SWEEP.
+SWEEP_CHUNK = int(os.environ.get("APDMVS_SWEEP_CHUNK", "8"))
+
 _MIN_MARGIN = 6  # reference: APD.cu:1998
 _SWEEP_RADIUS = 30  # reference: APD.cu:2055
 
@@ -56,7 +62,6 @@ def _weighted_sweep_cost(
     return jnp.sum(wsel * cv, axis=0) / jnp.maximum(weight_norm, 1e-30)
 
 
-_SWEEP_CHUNK = 8
 
 
 def _weighted_sweep_costs_batched(
@@ -80,7 +85,7 @@ def _weighted_sweep_costs_batched(
     instead of paying the direct kernel's full-K fixup on ragged fields
     (PERF_NOTES round-4 closing: that fixup was ~1/3 of the pass)."""
     S = depths.shape[0]
-    S_pad = ((S + _SWEEP_CHUNK - 1) // _SWEEP_CHUNK) * _SWEEP_CHUNK
+    S_pad = ((S + SWEEP_CHUNK - 1) // SWEEP_CHUNK) * SWEEP_CHUNK
     if S_pad != S:
         depths = jnp.concatenate(
             [depths, jnp.broadcast_to(depths[-1:], (S_pad - S,) + depths.shape[1:])]
@@ -92,7 +97,7 @@ def _weighted_sweep_costs_batched(
         [jnp.broadcast_to(n_cam[None], depths.shape + (3,)), w[..., None]], axis=-1
     )
     planes_chunks = planes.reshape(
-        S_pad // _SWEEP_CHUNK, _SWEEP_CHUNK, *planes.shape[1:]
+        S_pad // SWEEP_CHUNK, SWEEP_CHUNK, *planes.shape[1:]
     )
     wsel = jnp.where(selected, view_weights, 0.0)
 
@@ -108,9 +113,9 @@ def _weighted_sweep_costs_batched(
         # (no per-candidate global offsets — those mis-placed the band
         # wherever the per-pixel baseline deviated from the mean and paid
         # the L2 fixup for it)
-        mid = _SWEEP_CHUNK // 2
+        mid = SWEEP_CHUNK // 2
         base_chunks = depths.reshape(
-            S_pad // _SWEEP_CHUNK, _SWEEP_CHUNK, *depths.shape[1:]
+            S_pad // SWEEP_CHUNK, SWEEP_CHUNK, *depths.shape[1:]
         )[:, mid]
 
     def chunk_cost(args):

@@ -1650,7 +1650,10 @@ def ncc_volume_cost_view_ref(
 # deviated from the mean, escaping whole tiles to the L2 fixup for no
 # reason. Only genuine > RB_BAND spreads (depth edges) still escape.
 
-SWEEP_J2 = 49  # rebase window for the sweep (covers |s-mid|*delta <= 24)
+#: Rebase window for the sweep evaluator (covers |s - mid| * delta <=
+#: (SWEEP_J2 - 1)/2 - band). Env-at-import so classify.SWEEP_CHUNK
+#: experiments can pair e.g. chunk 16 with J2 81 (scripts/ab_pass.py).
+SWEEP_J2 = int(os.environ.get("APDMVS_SWEEP_J2", "49"))
 
 
 def _kernel_rb_offs(

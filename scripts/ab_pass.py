@@ -88,18 +88,24 @@ def main():
     from apdmvs_tpu.ops import ncc_volume
 
     flag_attr = {
-        "APDMVS_SWEEP": (classify, "USE_SWEEP"),
-        "APDMVS_REBASE": (pl_mod, "USE_REBASE"),
-        "APDMVS_BAND2": (ncc_volume, "USE_BAND2"),
+        "APDMVS_SWEEP": (classify, "USE_SWEEP", lambda v: v == "1"),
+        "APDMVS_REBASE": (pl_mod, "USE_REBASE", lambda v: v == "1"),
+        "APDMVS_BAND2": (ncc_volume, "USE_BAND2", lambda v: v == "1"),
+        "APDMVS_SWEEP_CHUNK": (classify, "SWEEP_CHUNK", int),
+        "APDMVS_SWEEP_J2": (ncc_volume, "SWEEP_J2", int),
     }
+    # --env may be a comma-list with ':'-paired values, e.g.
+    #   --env APDMVS_SWEEP_CHUNK,APDMVS_SWEEP_J2 --values 8:49,16:81
+    env_names = args.env.split(",")
 
     fns = {}
     outs = {}
     for val in values:
-        os.environ[args.env] = val
-        if args.env in flag_attr:
-            mod, attr = flag_attr[args.env]
-            setattr(mod, attr, val == "1")
+        for name, v in zip(env_names, val.split(":")):
+            os.environ[name] = v
+            if name in flag_attr:
+                mod, attr, conv = flag_attr[name]
+                setattr(mod, attr, conv(v))
         fn = jax.jit(
             pipeline.patchmatch_pass_impl,
             static_argnames=("cfg", "weak_capacity", "debug"),
