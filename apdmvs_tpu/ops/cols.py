@@ -333,7 +333,9 @@ _CT_TR = 512  # positions per contraction block (lane dim; R % 128 == 0)
 
 
 def _contract_kernel(k_ref, cols_ref, out_ref, *, n_views, n_k, n_b, nearest, tr):
-    ki = jax.lax.broadcasted_iota(jnp.float32, (n_k, tr), 0)
+    # Mosaic's tpu.iota only produces integer vectors; build in int32 and
+    # convert (a float iota fails kernel verification on real TPU).
+    ki = jax.lax.broadcasted_iota(jnp.int32, (n_k, tr), 0).astype(jnp.float32)
     cols = [cols_ref[v].astype(jnp.float32) for v in range(n_views)]
     for b in range(n_b):
         kb = jnp.clip(k_ref[b], 0.0, n_k - 1.0)[None, :]  # [1, TR]
